@@ -1,0 +1,159 @@
+"""Pallas TPU flash attention.
+
+Replaces the reference's CUDA xformers memory-efficient attention
+(/root/reference/ldm/modules/attention.py:216-243 and every
+``enable_xformers_memory_efficient_attention()`` call site) with a TPU-native
+online-softmax kernel.
+
+Design
+------
+- Shapes: q (B, H, N, D), k/v (B, H, M, D). D and N/M are zero-padded to
+  lane/sublane multiples outside the kernel (XLA pads cheaply; the kernel sees
+  aligned tiles only). Padded keys are masked with -inf logits.
+- Grid: (B*H, N/BLOCK_N). Each program holds one q tile in VMEM and streams
+  the kv sequence in BLOCK_M tiles via a fori_loop with the classic
+  (m, l, acc) online-softmax carry, all in fp32.
+- SD1.5/2.1 UNet self-attention (N = M = 4096 @ 64x64 latents, D = 40..160),
+  SAM ViT (N = 4096, D = 80) and the 1024^2 tile pass (N = 16384) all fit this
+  scheme; K/V tiles for one (batch, head) stay well under VMEM.
+
+Dispatch falls back to the pure-XLA reference for tiny problems (cross-attn
+with M = 77), explicit masks, and non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too, but guard for safety
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+BLOCK_N = 256
+BLOCK_M = 256
+_NEG_INF = -1e30
+
+# Interpreter mode lets CPU tests exercise the kernel (tests/conftest.py sets
+# EA_PALLAS_INTERPRET=1 under the virtual CPU mesh).
+import os  # noqa: E402
+
+_INTERPRET = os.environ.get("EA_PALLAS_INTERPRET", "0") == "1"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                  block_m: int):
+    """One q tile vs the full (padded) kv sequence for one (batch*head)."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (BN, D)
+    m_pad = k_ref.shape[1]
+    num_kv_blocks = m_pad // block_m
+    bn, d = q.shape
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(j * block_m, block_m), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_m, block_m), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BN, BM)
+        # mask out zero-padded keys
+        col = jax.lax.broadcasted_iota(jnp.int32, (bn, block_m), 1)
+        valid = (col + j * block_m) < kv_len
+        logits = jnp.where(valid, logits, _NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)          # (BN, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)                              # (BN, BM)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bn, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bn, 1), jnp.float32)
+    acc0 = jnp.zeros((bn, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_n", "block_m"))
+def flash_attention(q, k, v, *, scale: Optional[float] = None,
+                    block_n: int = BLOCK_N, block_m: int = BLOCK_M):
+    """Flash attention for (B, H, N, D) tensors, no mask (full bidirectional)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, n, d = q.shape
+    m = k.shape[2]
+
+    block_n = min(block_n, _round_up(n, 128))
+    block_m = min(block_m, _round_up(m, 128))
+    n_pad = _round_up(n, block_n)
+    m_pad = _round_up(m, block_m)
+    d_pad = _round_up(d, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, d_pad - d)))
+    qp = qp.reshape(b * h, n_pad, d_pad)
+    kp = kp.reshape(b * h, m_pad, d_pad)
+    vp = vp.reshape(b * h, m_pad, d_pad)
+
+    grid = (b * h, n_pad // block_n)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=m,
+                               block_m=block_m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, m_pad, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, m_pad, d_pad), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * m * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * n * m,
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp)
+    out = out.reshape(b, h, n_pad, d_pad)
+    return out[:, :, :n, :d]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# VMEM budget guard: full padded K+V for one (batch, head) must stream through
+# VMEM comfortably. Beyond this we let XLA's attention fusion handle it.
+_MAX_KV_BYTES = 8 * 1024 * 1024
+
+
+def dispatch(q, k, v, *, scale: Optional[float] = None, mask=None):
+    """Route to the Pallas kernel when profitable, else the XLA reference."""
+    from editanything_tpu.core.layers import attention_reference
+
+    n, d = q.shape[-2], q.shape[-1]
+    m = k.shape[-2]
+    kv_bytes = 2 * _round_up(m, 128) * _round_up(d, 128) * 4
+    if (mask is not None or not (_on_tpu() or _INTERPRET) or n < 128
+            or kv_bytes > _MAX_KV_BYTES):
+        return attention_reference(q, k, v, scale=scale, mask=mask)
+    return flash_attention(q, k, v, scale=scale)

@@ -1,0 +1,216 @@
+"""Functional NN primitives (TPU-first: NHWC, bf16 compute, fp32 statistics).
+
+Every layer is a pure function ``layer(params, x, ...)`` over a params pytree
+(nested dicts of jnp arrays). No module classes, no mutable state: this keeps
+models trivially `jit`/`pjit`-able, keeps parameter trees directly mappable to
+torch/diffusers checkpoints (see editanything_tpu/checkpoints), and lets
+sharding be expressed as tree-path rules.
+
+Conventions
+-----------
+- Activations: NHWC (TPU-native conv layout).
+- Conv kernels: HWIO. Linear kernels: (in, out).
+- Normalization statistics always in float32, output cast back to input dtype.
+- ``attention`` dispatches to the Pallas flash kernel on TPU and a pure-XLA
+  reference elsewhere (CPU tests / interpreters).
+
+Reference behavior being re-implemented (cited for parity checking, not code):
+- GroupNorm+SiLU conv stacks: /root/reference/ldm/modules/diffusionmodules/model.py:41-48
+- attention cores: /root/reference/ldm/modules/attention.py:163-243
+- timestep embedding: /root/reference/ldm/modules/diffusionmodules/util.py:154
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Initializers (used for training / random smoke tests; checkpoints overwrite)
+# ---------------------------------------------------------------------------
+
+def init_conv2d(key, in_ch: int, out_ch: int, kernel_size: int = 3,
+                dtype=jnp.float32, zero: bool = False):
+    """Conv param dict. `zero=True` gives ControlNet zero-conv init."""
+    if zero:
+        kernel = jnp.zeros((kernel_size, kernel_size, in_ch, out_ch), dtype)
+    else:
+        fan_in = in_ch * kernel_size * kernel_size
+        std = 1.0 / math.sqrt(fan_in)
+        kernel = jax.random.uniform(
+            key, (kernel_size, kernel_size, in_ch, out_ch), dtype, -std, std)
+    return {"kernel": kernel, "bias": jnp.zeros((out_ch,), dtype)}
+
+
+def init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32,
+                zero: bool = False, bias: bool = True):
+    if zero:
+        kernel = jnp.zeros((in_dim, out_dim), dtype)
+    else:
+        std = 1.0 / math.sqrt(in_dim)
+        kernel = jax.random.uniform(key, (in_dim, out_dim), dtype, -std, std)
+    p = {"kernel": kernel}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_group_norm(num_ch: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((num_ch,), dtype), "bias": jnp.zeros((num_ch,), dtype)}
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+def conv2d(params, x, *, stride: int = 1, padding="SAME",
+           feature_group_count: int = 1):
+    """2-D convolution, NHWC x HWIO -> NHWC.
+
+    `padding` may be "SAME"/"VALID", an int (symmetric), or explicit pairs.
+    """
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    kernel = params["kernel"]
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+def linear(params, x):
+    y = jnp.dot(x, params["kernel"].astype(x.dtype))
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x):
+    """CLIP's gelu variant: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def geglu(params, x):
+    """Gated GELU used by SD transformer FFNs: proj to 2*d, gate with gelu."""
+    h = linear(params, x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    return h * gelu(gate)
+
+
+def group_norm(params, x, *, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over NHWC (normalizes over H, W and channels-in-group).
+
+    Statistics in fp32 regardless of activation dtype.
+    """
+    orig_dtype = x.dtype
+    n, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(n, h, w, c)
+    out = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def group_norm_silu(params, x, *, num_groups: int = 32, eps: float = 1e-5):
+    """Fused GroupNorm + SiLU.
+
+    On TPU this routes to the Pallas fused kernel for supported shapes
+    (editanything_tpu/core/kernels.py); elsewhere it composes the reference
+    ops (XLA fuses the SiLU into the normalization epilogue anyway).
+    """
+    from editanything_tpu.core import kernels
+    return kernels.group_norm_silu(params, x, num_groups=num_groups, eps=eps)
+
+
+def layer_norm(params, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def timestep_embedding(timesteps, dim: int, *, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True, downscale_freq_shift: float = 0.0,
+                       dtype=jnp.float32):
+    """Sinusoidal timestep embeddings.
+
+    Matches diffusers `get_timestep_embedding` semantics (which SD UNets use:
+    flip_sin_to_cos=True, downscale_freq_shift=0). The legacy LDM variant
+    (/root/reference/ldm/modules/diffusionmodules/util.py:154) corresponds to
+    flip_sin_to_cos=False, downscale_freq_shift=1.
+    """
+    timesteps = jnp.asarray(timesteps)
+    if timesteps.ndim == 0:
+        timesteps = timesteps[None]
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - downscale_freq_shift)
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def attention_reference(q, k, v, *, scale: Optional[float] = None, mask=None):
+    """Pure-XLA scaled dot-product attention. Shapes: (B, H, N, D)/(B, H, M, D).
+
+    Softmax in fp32 (matches the reference's fp32-upcast option,
+    /root/reference/ldm/modules/attention.py:180-186).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def attention(q, k, v, *, scale: Optional[float] = None, mask=None):
+    """Scaled dot-product attention, (B, H, N, D).
+
+    Dispatches to the Pallas flash-attention kernel on TPU for unmasked
+    attention with seq lengths worth tiling; otherwise the XLA reference.
+    """
+    from editanything_tpu.core import flash_attention
+    return flash_attention.dispatch(q, k, v, scale=scale, mask=mask)
