@@ -1,0 +1,8 @@
+from editanything_tpu.samplers.schedule import (
+    NoiseSchedule,
+    make_schedule,
+    make_timesteps,
+    add_noise,
+)
+from editanything_tpu.samplers.ddim import ddim_step
+from editanything_tpu.samplers.unipc import UniPCState, unipc_init, unipc_step

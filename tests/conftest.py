@@ -9,7 +9,9 @@ position (pytest loads conftest before test modules import jax).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the agent environment exports JAX_PLATFORMS=axon (the real
+# TPU tunnel); tests must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
