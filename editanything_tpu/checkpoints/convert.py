@@ -1,0 +1,210 @@
+"""torch / diffusers / safetensors checkpoint import.
+
+The reference consumes weights in several formats (SURVEY.md section 5
+"Checkpoint / resume"): diffusers model repos (UNet/VAE/CLIP/ControlNet),
+SAM `.pth` (editany_lora.py:58-68), kohya-naming LoRA `.safetensors`
+(:197-329), textual-inversion embeddings (:734), and legacy ldm `.ckpt`
+(cldm/model.py:12-21). This module imports all of them into our param
+trees.
+
+Because our trees are *named after* the torch modules (models/*.py), the
+conversion is purely mechanical:
+  - `foo.bar.weight` -> tree path foo/bar + layout transform by tensor rank:
+      conv OIHW -> HWIO, linear (out,in) -> (in,out), convT (I,O,H,W) ->
+      (H,W,I,O), vectors unchanged
+  - norm `weight` -> "scale" for LayerNorm/GroupNorm params; SAM's
+    LayerNorm2d keeps torch naming ("weight"/"bias") by design.
+
+No torch import is needed at inference time — torch is only used here to
+read `.pth`/`.ckpt` files (safetensors are read natively).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Loading
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors / .pt / .pth / .ckpt file to numpy arrays."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+# ---------------------------------------------------------------------------
+# Layout transforms
+# ---------------------------------------------------------------------------
+
+def _to_jax_layout(name: str, arr: np.ndarray, *, transpose_linear=True):
+    if name.endswith(".weight") and arr.ndim == 4:
+        # conv OIHW -> HWIO
+        return arr.transpose(2, 3, 1, 0)
+    if name.endswith(".weight") and arr.ndim == 2 and transpose_linear:
+        return arr.T
+    return arr
+
+
+_NORM_PAT = re.compile(
+    r"(norm|layer_norm|layernorm|group_norm|ln_)[\w]*$|^norm")
+
+
+def _is_norm_module(mod_path: str) -> bool:
+    last = mod_path.split(".")[-1]
+    return bool(_NORM_PAT.search(last))
+
+
+def _set_path(tree: dict, keys, value):
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def state_dict_to_tree(sd: Mapping[str, np.ndarray], *,
+                       norm_weight_name: str = "scale",
+                       embedding_modules=(),
+                       conv_transpose_modules=(),
+                       dtype=None) -> dict:
+    """Generic torch state-dict -> nested JAX tree with layout transforms.
+
+    norm params: `weight` renamed to `norm_weight_name`; embedding modules
+    keep their (V, D) layout and `weight` name; conv-transpose modules get
+    the (I, O, H, W) -> (H, W, I, O) permute.
+    """
+    tree: dict = {}
+    for name, arr in sd.items():
+        parts = name.split(".")
+        mod_path = ".".join(parts[:-1])
+        leaf = parts[-1]
+        a = np.asarray(arr)
+
+        is_emb = any(mod_path.endswith(m) or m in mod_path
+                     for m in embedding_modules)
+        is_convt = any(mod_path.endswith(m) for m in conv_transpose_modules)
+
+        if leaf == "weight":
+            if is_emb:
+                out_leaf, out = "weight", a
+            elif is_convt and a.ndim == 4:
+                out_leaf, out = "kernel", a.transpose(2, 3, 0, 1)
+            elif a.ndim == 4:
+                out_leaf, out = "kernel", a.transpose(2, 3, 1, 0)
+            elif a.ndim == 2:
+                out_leaf, out = "kernel", a.T
+            elif a.ndim == 1:
+                out_leaf, out = (norm_weight_name, a)
+            else:
+                out_leaf, out = "weight", a
+        elif leaf == "bias":
+            out_leaf, out = "bias", a
+        else:
+            out_leaf, out = leaf, a
+
+        if dtype is not None and np.issubdtype(out.dtype, np.floating):
+            out = out.astype(dtype)
+        _set_path(tree, parts[:-1] + [out_leaf], jnp.asarray(out))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Model-specific entry points
+# ---------------------------------------------------------------------------
+
+def diffusers_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """diffusers UNet2DConditionModel / ControlNetModel / AutoencoderKL
+    state dict -> our tree (models/unet.py, controlnet.py, vae.py naming)."""
+    return state_dict_to_tree(
+        sd, norm_weight_name="scale",
+        conv_transpose_modules=(),
+        dtype=dtype)
+
+
+def clip_text_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """HF CLIPTextModel state dict (text_model.* prefix stripped)."""
+    stripped = {}
+    for k, v in sd.items():
+        k = k.replace("text_model.", "")
+        if k.startswith("embeddings.position_ids"):
+            continue
+        stripped[k] = v
+    return state_dict_to_tree(
+        stripped, norm_weight_name="scale",
+        embedding_modules=("token_embedding", "position_embedding"),
+        dtype=dtype)
+
+
+def sam_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """Official SAM checkpoint (sam_vit_*.pth) -> models/sam.py tree.
+
+    SAM's LayerNorm2d modules (neck.1/3, mask_downscaling.1/4,
+    output_upscaling.1) keep `weight`; the transposed convs in
+    output_upscaling (0, 3) need the (I, O, H, W) permute; pos_embed and
+    rel_pos_* are bare arrays.
+    """
+    tree = state_dict_to_tree(
+        sd, norm_weight_name="scale",
+        embedding_modules=("point_embeddings", "not_a_point_embed",
+                           "no_mask_embed", "iou_token", "mask_tokens",
+                           "token_embedding", "position_embedding"),
+        conv_transpose_modules=("output_upscaling.0", "output_upscaling.3"),
+        dtype=dtype)
+
+    # LayerNorm2d + bare-tensor fixups: rename scale->weight where our SAM
+    # code expects torch naming, and unwrap scalar-param dicts.
+    def fix(node, path):
+        if isinstance(node, dict):
+            if set(node) <= {"scale", "bias"} and "scale" in node and (
+                    "neck" in path or "output_upscaling" in path
+                    or "mask_downscaling" in path):
+                node["weight"] = node.pop("scale")
+            for k, v in list(node.items()):
+                fix(v, path + [k])
+    if "image_encoder" in tree:
+        fix(tree["image_encoder"], ["image_encoder"])
+    if "mask_decoder" in tree:
+        fix(tree["mask_decoder"], ["mask_decoder"])
+    if "prompt_encoder" in tree:
+        fix(tree["prompt_encoder"], ["prompt_encoder"])
+
+    # pos_embed arrives as {"pos_embed": array} at module level already;
+    # blocks' norm weights use "scale" which matches core layer_norm.
+    return tree
+
+
+def tree_to_diffusers(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse conversion (for checkpoint export / tests)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+            return
+        a = np.asarray(node)
+        leaf = path[-1]
+        name = ".".join(path[:-1])
+        if leaf == "kernel" and a.ndim == 4:
+            out[f"{name}.weight"] = a.transpose(3, 2, 0, 1)
+        elif leaf == "kernel" and a.ndim == 2:
+            out[f"{name}.weight"] = a.T
+        elif leaf == "scale":
+            out[f"{name}.weight"] = a
+        else:
+            out[".".join(path)] = a
+
+    walk(tree, [prefix] if prefix else [])
+    return out

@@ -45,6 +45,7 @@ _NEG_INF = -1e30
 import os  # noqa: E402
 
 _INTERPRET = os.environ.get("EA_PALLAS_INTERPRET", "0") == "1"
+_DISABLED = os.environ.get("EA_DISABLE_PALLAS", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -153,7 +154,7 @@ def dispatch(q, k, v, *, scale: Optional[float] = None, mask=None):
     n, d = q.shape[-2], q.shape[-1]
     m = k.shape[-2]
     kv_bytes = 2 * _round_up(m, 128) * _round_up(d, 128) * 4
-    if (mask is not None or not (_on_tpu() or _INTERPRET) or n < 128
-            or kv_bytes > _MAX_KV_BYTES):
+    if (_DISABLED or mask is not None or not (_on_tpu() or _INTERPRET)
+            or n < 128 or kv_bytes > _MAX_KV_BYTES):
         return attention_reference(q, k, v, scale=scale, mask=mask)
     return flash_attention(q, k, v, scale=scale)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 _INTERPRET = os.environ.get("EA_PALLAS_INTERPRET", "0") == "1"
+_DISABLED = os.environ.get("EA_DISABLE_PALLAS", "0") == "1"
 
 
 def _row_chunk(h: int) -> int:
@@ -124,8 +125,8 @@ def group_norm_silu(params, x, *, num_groups: int = 32, eps: float = 1e-5,
     """Fused GroupNorm(+SiLU) with XLA fallback off-TPU / for huge blocks."""
     n, h, w, c = x.shape
     block_bytes = h * w * c * x.dtype.itemsize
-    if ((_on_tpu() or _INTERPRET) and c % num_groups == 0
-            and block_bytes <= _MAX_BLOCK_BYTES):
+    if (not _DISABLED and (_on_tpu() or _INTERPRET)
+            and c % num_groups == 0 and block_bytes <= _MAX_BLOCK_BYTES):
         return _gn_silu_pallas(x, params["scale"], params["bias"],
                                num_groups, eps, apply_silu)
     from editanything_tpu.core import layers

@@ -1,0 +1,214 @@
+"""The compiled edit program: one-jit denoising loops with CFG, multi-
+ControlNet conditioning, and inpaint mask blending.
+
+This replaces the reference's Python-level per-step pipeline loops
+(/root/reference/utils/stable_diffusion_controlnet_inpaint.py:1539-1664 and
+utils/stable_diffusion_controlnet.py:570-627): the entire
+steps x (ControlNet(s) + UNet + CFG + scheduler + mask-blend) program is a
+single `lax.scan` compiled once per (resolution, batch) bucket — no Python in
+the loop, no per-step dispatch, latents donated in HBM.
+
+Feature parity carried over (SURVEY.md section 2.3):
+- classifier-free guidance via batch doubling (:1542-1544)
+- multi-ControlNet residual summing ([SAM ctrl, inpaint ctrl] :1607-1615)
+- per-pixel conditioning scale maps (ControlNetModel2 :785-802)
+- guess mode (cond-only ControlNet pass, zero uncond residuals :579-602)
+- 9-ch inpaint UNets (mask+masked-latents concat :1448-1468)
+- 4-ch alignment blending: for steps i < T*alignment_ratio, re-noise the
+  original latents to t_{i+1} and paste the outside-mask region (:1647-1656);
+  alignment_ratio in {1.0, None} => single final paste (:1658-1664)
+- alpha mixing variant ((1-a)*latents + a*renoised outside mask, :2039-2051)
+
+TPU notes: the CFG pair rides the batch axis (shard it over the mesh data
+axis); all gating uses the scan xs counter, never carried scalars (see
+tpu-scan-carry note in samplers/unipc.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from editanything_tpu.models import unet as U
+from editanything_tpu.models import controlnet as CN
+from editanything_tpu.samplers import schedule as sched
+from editanything_tpu.samplers import ddim as ddim_mod
+from editanything_tpu.samplers import unipc as unipc_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiseConfig:
+    """Static structure of a denoising program (hashable: jit static arg)."""
+    unet: "editanything_tpu.models.config.UNetConfig"
+    controlnets: tuple = ()              # tuple of ControlNetConfig
+    num_steps: int = 30
+    sampler: str = "unipc"               # "unipc" | "ddim"
+    guidance: bool = True                # classifier-free guidance
+    guess_mode: bool = False
+    # inpainting:
+    inpaint_mode: str = "none"           # "none" | "unet9" | "blend" | "mix"
+    alignment_ratio: Optional[float] = None   # "blend": paste-while < ratio
+    alpha_weight: float = 0.5            # "mix" variant blend factor
+    prediction_type: str = "epsilon"
+    timestep_spacing: str = "linspace"
+
+
+def _cat2(x):
+    return jnp.concatenate([x, x], axis=0)
+
+
+def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
+                   timesteps):
+    """Returns a pure jittable fn running the full sampling loop.
+
+    fn(params, latents, context, inputs) -> final latents, where
+      params  = {"unet": tree, "controlnets": [tree, ...]}
+      latents = (B, h, w, 4) initial noise (fp32/bf16)
+      context = {"cond": (B, N, D), "uncond": (B, N, D)}
+      inputs  = dict of optional data tensors:
+        "controlnet_conds": list of (B, 8h, 8w, 3)
+        "controlnet_scales": list of scalars
+        "controlnet_scale_maps": list of (B, 8h, 8w) or None
+        "guidance_scale": scalar
+        "mask": (B, h, w, 1) 1=edit region     [inpaint modes]
+        "image_latents": (B, h, w, 4) original-image latents  [blend/mix]
+        "masked_image_latents": (B, h, w, 4)   [unet9]
+        "noise": (B, h, w, 4) noise reused for re-noising [blend/mix]
+    """
+    ts = jnp.asarray(timesteps, jnp.int32)
+    n = cfg.num_steps
+    assert len(ts) == n
+
+    def model_output(params, latents, t, context, inputs):
+        """ControlNet(s) + UNet + CFG at one timestep."""
+        guidance_scale = inputs.get("guidance_scale", 7.5)
+        do_cfg = cfg.guidance
+
+        if do_cfg:
+            lat_in = _cat2(latents)
+            ctx = jnp.concatenate([context["uncond"], context["cond"]], axis=0)
+        else:
+            lat_in = latents
+            ctx = context["cond"]
+
+        # 9-ch inpaint UNet: concat mask + masked-image latents per step
+        unet_in = lat_in
+        if cfg.inpaint_mode == "unet9":
+            mask = inputs["mask"]
+            mlat = inputs["masked_image_latents"]
+            extra = jnp.concatenate([mask, mlat], axis=-1)
+            if do_cfg:
+                extra = _cat2(extra)
+            unet_in = jnp.concatenate([lat_in, extra.astype(lat_in.dtype)],
+                                      axis=-1)
+
+        tb = jnp.full((unet_in.shape[0],), t, jnp.int32)
+
+        down_res, mid_res = None, None
+        if cfg.controlnets:
+            conds = inputs["controlnet_conds"]
+            scales = inputs["controlnet_scales"]
+            smaps = inputs.get("controlnet_scale_maps") or [None] * len(conds)
+            if cfg.guess_mode and do_cfg:
+                # guess mode: ControlNet sees only the cond half; uncond
+                # residuals are zero (reference :579-602)
+                half = latents
+                tb_h = jnp.full((half.shape[0],), t, jnp.int32)
+                cn_in = half if cfg.inpaint_mode != "unet9" else half
+                down_c, mid_c = CN.multi_controlnet_apply(
+                    params["controlnets"], list(cfg.controlnets), cn_in, tb_h,
+                    context["cond"], conds, scales, smaps, guess_mode=True)
+                down_res = tuple(jnp.concatenate([jnp.zeros_like(r), r], axis=0)
+                                 for r in down_c)
+                mid_res = jnp.concatenate([jnp.zeros_like(mid_c), mid_c], axis=0)
+            else:
+                conds_in = [(_cat2(c) if do_cfg else c) for c in conds]
+                smaps_in = [(_cat2(m) if (do_cfg and m is not None) else m)
+                            for m in smaps]
+                down_res, mid_res = CN.multi_controlnet_apply(
+                    params["controlnets"], list(cfg.controlnets), lat_in, tb,
+                    ctx, conds_in, scales, smaps_in,
+                    guess_mode=cfg.guess_mode)
+
+        out = U.apply(params["unet"], cfg.unet, unet_in, tb, ctx,
+                      down_block_residuals=down_res,
+                      mid_block_residual=mid_res)
+
+        if do_cfg:
+            uncond, cond = jnp.split(out, 2, axis=0)
+            out = uncond + guidance_scale * (cond - uncond)
+        return out
+
+    def blend_outside_mask(latents, i, inputs):
+        """Paste re-noised original-image latents outside the edit mask."""
+        if cfg.inpaint_mode not in ("blend", "mix"):
+            return latents
+        mask = inputs["mask"].astype(jnp.float32)
+        img = inputs["image_latents"].astype(jnp.float32)
+        noise = inputs["noise"].astype(jnp.float32)
+        n_steps = n
+
+        t_next = jnp.where(i + 1 < n_steps, ts[jnp.minimum(i + 1, n_steps - 1)], -1)
+        renoised = jnp.where(
+            t_next >= 0,
+            sched.add_noise(schedule, img, noise, jnp.maximum(t_next, 0)),
+            img)
+
+        ratio = 1.0 if cfg.alignment_ratio is None else cfg.alignment_ratio
+        active = (i + 1) < jnp.asarray(ratio * n_steps)
+        if cfg.inpaint_mode == "mix":
+            blended = (1.0 - cfg.alpha_weight) * latents + \
+                cfg.alpha_weight * renoised
+            outside = jnp.where(active, blended, latents)
+        else:
+            outside = jnp.where(active, renoised, latents)
+        return mask * latents + (1.0 - mask) * outside
+
+    def final_paste(latents, inputs):
+        """alignment_ratio in {None, 1.0}: single clean paste at the end
+        (reference :1658-1664)."""
+        if cfg.inpaint_mode not in ("blend", "mix"):
+            return latents
+        if cfg.alignment_ratio is not None and cfg.alignment_ratio < 1.0:
+            return latents
+        mask = inputs["mask"].astype(jnp.float32)
+        img = inputs["image_latents"].astype(jnp.float32)
+        return mask * latents + (1.0 - mask) * img
+
+    if cfg.sampler == "unipc":
+        def run(params, latents, context, inputs):
+            state = unipc_mod.unipc_init(latents)
+
+            def body(state, i):
+                t = ts[i]
+                out = model_output(params, state.sample.astype(latents.dtype),
+                                   t, context, inputs)
+                state, prev = unipc_mod.unipc_step(
+                    schedule, state, out, ts, step=i)
+                prev = blend_outside_mask(prev, i, inputs)
+                state = state._replace(sample=prev)
+                return state, ()
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(n))
+            return final_paste(state.sample, inputs).astype(latents.dtype)
+    elif cfg.sampler == "ddim":
+        def run(params, latents, context, inputs):
+            def body(x, i):
+                t = ts[i]
+                t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
+                out = model_output(params, x.astype(latents.dtype), t,
+                                   context, inputs)
+                x, _ = ddim_mod.ddim_step(schedule, x, out, t, t_prev)
+                x = blend_outside_mask(x, i, inputs)
+                return x, ()
+
+            x, _ = jax.lax.scan(body, latents.astype(jnp.float32),
+                                jnp.arange(n))
+            return final_paste(x, inputs).astype(latents.dtype)
+    else:
+        raise ValueError(f"unknown sampler {cfg.sampler!r}")
+
+    return run

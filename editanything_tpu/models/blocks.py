@@ -1,0 +1,210 @@
+"""Shared UNet/VAE building blocks (diffusers param naming, NHWC compute).
+
+Behavioral spec being re-implemented (reference, for parity checking):
+- ResBlock: /root/reference/ldm/modules/diffusionmodules/openaimodel.py:162
+- SpatialTransformer/BasicTransformerBlock: ldm/modules/attention.py:246-341
+- Up/Downsample: openaimodel.py:90,133
+- VAE ResnetBlock/AttnBlock: ldm/modules/diffusionmodules/model.py:90,152
+
+Param trees are nested dicts whose joined keys match diffusers module names
+(e.g. resnet: norm1/conv1/time_emb_proj/norm2/conv2/conv_shortcut), so the
+torch->JAX converter in editanything_tpu/checkpoints is a pure renaming of
+tensor layouts, with no architectural mapping table.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from editanything_tpu.core import layers as L
+from editanything_tpu.core.kernels import group_norm_silu
+
+
+# ---------------------------------------------------------------------------
+# ResNet block (time-conditioned)
+# ---------------------------------------------------------------------------
+
+def init_resnet_block(key, in_ch, out_ch, temb_ch=None, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    p = {
+        "norm1": L.init_group_norm(in_ch, dtype),
+        "conv1": L.init_conv2d(ks[0], in_ch, out_ch, 3, dtype),
+        "norm2": L.init_group_norm(out_ch, dtype),
+        "conv2": L.init_conv2d(ks[1], out_ch, out_ch, 3, dtype),
+    }
+    if temb_ch:
+        p["time_emb_proj"] = L.init_linear(ks[2], temb_ch, out_ch, dtype)
+    if in_ch != out_ch:
+        p["conv_shortcut"] = L.init_conv2d(ks[3], in_ch, out_ch, 1, dtype)
+    return p
+
+
+def resnet_block(params, x, temb=None, *, num_groups=32):
+    """GroupNorm-SiLU-Conv x2 with additive time embedding and skip."""
+    h = group_norm_silu(params["norm1"], x, num_groups=num_groups)
+    h = L.conv2d(params["conv1"], h, padding=1)
+    if temb is not None and "time_emb_proj" in params:
+        t = L.linear(params["time_emb_proj"], L.silu(temb))
+        h = h + t[:, None, None, :].astype(h.dtype)
+    h = group_norm_silu(params["norm2"], h, num_groups=num_groups)
+    h = L.conv2d(params["conv2"], h, padding=1)
+    if "conv_shortcut" in params:
+        x = L.conv2d(params["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# Transformer block (self-attn + cross-attn + GEGLU FF)
+# ---------------------------------------------------------------------------
+
+def init_attention(key, query_dim, context_dim=None, dtype=jnp.float32):
+    context_dim = context_dim or query_dim
+    ks = jax.random.split(key, 4)
+    return {
+        "to_q": L.init_linear(ks[0], query_dim, query_dim, dtype, bias=False),
+        "to_k": L.init_linear(ks[1], context_dim, query_dim, dtype, bias=False),
+        "to_v": L.init_linear(ks[2], context_dim, query_dim, dtype, bias=False),
+        "to_out": {"0": L.init_linear(ks[3], query_dim, query_dim, dtype)},
+    }
+
+
+def attention_layer(params, x, context=None, *, heads):
+    """Multi-head attention over (B, N, C) with optional cross context.
+
+    QKV projections hit the MXU as single big matmuls; the core runs through
+    the Pallas flash kernel (core.flash_attention.dispatch)."""
+    context = x if context is None else context
+    b, n, c = x.shape
+    q = L.linear(params["to_q"], x)
+    k = L.linear(params["to_k"], context)
+    v = L.linear(params["to_v"], context)
+    d = c // heads
+    q = q.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
+    out = L.attention(q, k, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    return L.linear(params["to_out"]["0"], out)
+
+
+def init_transformer_block(key, dim, context_dim, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    return {
+        "norm1": L.init_layer_norm(dim, dtype),
+        "attn1": init_attention(ks[0], dim, None, dtype),
+        "norm2": L.init_layer_norm(dim, dtype),
+        "attn2": init_attention(ks[1], dim, context_dim, dtype),
+        "norm3": L.init_layer_norm(dim, dtype),
+        "ff": {"net": {
+            "0": {"proj": L.init_linear(ks[2], dim, dim * 8, dtype)},  # GEGLU
+            "2": L.init_linear(ks[3], dim * 4, dim, dtype),
+        }},
+    }
+
+
+def transformer_block(params, x, context, *, heads):
+    x = x + attention_layer(params["attn1"], L.layer_norm(params["norm1"], x),
+                            heads=heads)
+    x = x + attention_layer(params["attn2"], L.layer_norm(params["norm2"], x),
+                            context, heads=heads)
+    h = L.geglu(params["ff"]["net"]["0"]["proj"],
+                L.layer_norm(params["norm3"], x))
+    x = x + L.linear(params["ff"]["net"]["2"], h)
+    return x
+
+
+def init_spatial_transformer(key, channels, context_dim, *, depth=1,
+                             use_linear=False, dtype=jnp.float32):
+    ks = jax.random.split(key, depth + 2)
+    if use_linear:
+        proj_in = L.init_linear(ks[0], channels, channels, dtype)
+        proj_out = L.init_linear(ks[1], channels, channels, dtype)
+    else:
+        proj_in = L.init_conv2d(ks[0], channels, channels, 1, dtype)
+        proj_out = L.init_conv2d(ks[1], channels, channels, 1, dtype)
+    return {
+        "norm": L.init_group_norm(channels, dtype),
+        "proj_in": proj_in,
+        "transformer_blocks": {
+            str(i): init_transformer_block(ks[i + 2], channels, context_dim, dtype)
+            for i in range(depth)
+        },
+        "proj_out": proj_out,
+    }
+
+
+def spatial_transformer(params, x, context, *, heads, use_linear=False,
+                        num_groups=32):
+    """Flatten NHWC -> (B, H*W, C), run transformer blocks, residual add."""
+    b, h, w, c = x.shape
+    residual = x
+    hidden = L.group_norm(params["norm"], x, num_groups=num_groups)
+    if use_linear:
+        hidden = hidden.reshape(b, h * w, c)
+        hidden = L.linear(params["proj_in"], hidden)
+    else:
+        hidden = L.conv2d(params["proj_in"], hidden, padding=0)
+        hidden = hidden.reshape(b, h * w, c)
+    for i in range(len(params["transformer_blocks"])):
+        hidden = transformer_block(params["transformer_blocks"][str(i)],
+                                   hidden, context, heads=heads)
+    if use_linear:
+        hidden = L.linear(params["proj_out"], hidden)
+        hidden = hidden.reshape(b, h, w, c)
+    else:
+        hidden = hidden.reshape(b, h, w, c)
+        hidden = L.conv2d(params["proj_out"], hidden, padding=0)
+    return hidden + residual
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+# ---------------------------------------------------------------------------
+
+def init_downsample(key, channels, dtype=jnp.float32):
+    return {"conv": L.init_conv2d(key, channels, channels, 3, dtype)}
+
+
+def downsample(params, x):
+    # stride-2 conv with asymmetric (0,1) padding, matching torch
+    # Conv2d(stride=2, padding=1) on even sizes
+    return L.conv2d(params["conv"], x, stride=2, padding=[(1, 1), (1, 1)])
+
+
+def init_upsample(key, channels, dtype=jnp.float32):
+    return {"conv": L.init_conv2d(key, channels, channels, 3, dtype)}
+
+
+def upsample(params, x):
+    b, h, w, c = x.shape
+    x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+    return L.conv2d(params["conv"], x, padding=1)
+
+
+# ---------------------------------------------------------------------------
+# VAE attention block (single-head, diffusers `Attention` naming)
+# ---------------------------------------------------------------------------
+
+def init_vae_attention(key, channels, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "group_norm": L.init_group_norm(channels, dtype),
+        "to_q": L.init_linear(ks[0], channels, channels, dtype),
+        "to_k": L.init_linear(ks[1], channels, channels, dtype),
+        "to_v": L.init_linear(ks[2], channels, channels, dtype),
+        "to_out": {"0": L.init_linear(ks[3], channels, channels, dtype)},
+    }
+
+
+def vae_attention(params, x, *, num_groups=32):
+    b, h, w, c = x.shape
+    residual = x
+    hidden = L.group_norm(params["group_norm"], x, num_groups=num_groups)
+    hidden = hidden.reshape(b, h * w, c)
+    q = L.linear(params["to_q"], hidden)[:, None]
+    k = L.linear(params["to_k"], hidden)[:, None]
+    v = L.linear(params["to_v"], hidden)[:, None]
+    out = L.attention(q, k, v)[:, 0]
+    out = L.linear(params["to_out"]["0"], out).reshape(b, h, w, c)
+    return out + residual

@@ -1,0 +1,102 @@
+"""ControlNet training — pjit data-parallel (+FSDP/TP shardings).
+
+Re-implements the reference's training semantics (not its Lightning stack):
+- loss: eps-MSE (or v-target) on noised latents with the control branch
+  trainable and the base UNet frozen —
+  /root/reference/ldm/models/diffusion/ddpm.py:885-920 (`p_losses`, simple
+  loss; the VLB term has weight elbo_weight=0 in the shipped config) +
+  /root/reference/cldm/cldm.py:328-341 (`apply_model`), :416-423
+  (`configure_optimizers`: AdamW over control params only, sd_locked).
+- distribution: the reference uses 8-GPU Lightning DDP
+  (sam_train_sd21.py:35). Here: a (data, model) mesh; gradients are
+  reduced by XLA from the shardings (no NCCL/DDP machinery), parameters may
+  be FSDP-sharded along `data`, and attention/FFN kernels may be
+  tensor-sharded along `model` (parallel/sharding.py).
+
+The train step consumes pre-encoded latents + conditioning: VAE encode and
+CLIP encode run in the data pipeline or a preprocessing jit, exactly like
+`get_input` does on-GPU in the reference (cldm/cldm.py:318-326).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from editanything_tpu.models import controlnet as CN
+from editanything_tpu.models import unet as U
+from editanything_tpu.samplers import schedule as sched
+
+
+class TrainState(NamedTuple):
+    cn_params: dict          # trainable ControlNet branch
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.0):
+    """AdamW, lr 1e-5 (sam_train_sd21.py:13)."""
+    if weight_decay:
+        return optax.adamw(lr, weight_decay=weight_decay)
+    return optax.adam(lr)
+
+
+def init_train_state(cn_params, optimizer) -> TrainState:
+    return TrainState(cn_params, optimizer.init(cn_params),
+                      jnp.asarray(0, jnp.int32))
+
+
+def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
+                    *, prediction_type: Optional[str] = None):
+    """Returns train_step(state, unet_params, batch, key) -> (state, metrics).
+
+    batch = {"latents": (B,h,w,4) scaled VAE latents,
+             "hint":    (B,8h,8w,3) control condition in [0,1],
+             "context": (B,N,D) text-encoder states}
+    """
+    pred_type = prediction_type or schedule.prediction_type
+    ucfg = cn_cfg.unet
+
+    def loss_fn(cn_params, unet_params, batch, key):
+        k_t, k_n = jax.random.split(key)
+        lat = batch["latents"]
+        b = lat.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, schedule.num_train_timesteps)
+        noise = jax.random.normal(k_n, lat.shape, lat.dtype)
+        noisy = sched.add_noise(schedule, lat, noise, t)
+
+        down, mid = CN.apply(cn_params, cn_cfg, noisy, t, batch["context"],
+                             batch["hint"])
+        pred = U.apply(unet_params, ucfg, noisy, t, batch["context"],
+                       down_block_residuals=down, mid_block_residual=mid)
+
+        if pred_type == "epsilon":
+            target = noise
+        elif pred_type == "v_prediction":
+            a, s = sched.alpha_sigma(schedule, t)
+            shape = (-1,) + (1,) * (lat.ndim - 1)
+            target = (a.reshape(shape) * noise.astype(jnp.float32)
+                      - s.reshape(shape) * lat.astype(jnp.float32)
+                      ).astype(lat.dtype)
+        else:
+            raise ValueError(pred_type)
+
+        loss = jnp.mean(jnp.square(pred.astype(jnp.float32)
+                                   - target.astype(jnp.float32)))
+        return loss
+
+    def train_step(state: TrainState, unet_params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.cn_params, unet_params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.cn_params)
+        cn_params = optax.apply_updates(state.cn_params, updates)
+        new_state = TrainState(cn_params, opt_state, state.step + 1)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step

@@ -20,6 +20,11 @@ os.environ.setdefault("EA_PALLAS_INTERPRET", "1")
 
 import jax  # noqa: E402
 
+# sitecustomize (axon TPU plugin) imports jax at interpreter start, so the
+# jax_platforms config default was captured from JAX_PLATFORMS=axon before
+# this file ran — the env var alone is ignored. Update the config directly.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
 # fp32 parity vs torch goldens: forbid low-precision matmul/conv passes.
 jax.config.update("jax_default_matmul_precision", "highest")

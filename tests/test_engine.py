@@ -1,0 +1,184 @@
+"""Engine tests: compiled denoise loops with CFG / ControlNet / inpainting,
+and data-parallel sharding over the virtual 8-device mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from editanything_tpu.engine import DenoiseConfig, build_denoiser
+from editanything_tpu.models import config as C
+from editanything_tpu.models import unet as U
+from editanything_tpu.models import controlnet as CN
+from editanything_tpu.samplers import make_schedule, make_timesteps
+from editanything_tpu.parallel import make_mesh, shard_batch, replicate
+
+
+TINY = C.UNetConfig(
+    block_out_channels=(32, 64), layers_per_block=1,
+    cross_attention_dim=32, attention_head_dim=(2, 2),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    norm_num_groups=8,
+)
+SCHED = make_schedule()
+STEPS = 4
+TS = make_timesteps(STEPS)
+
+
+@pytest.fixture(scope="module")
+def unet_params():
+    return U.init_unet(jax.random.PRNGKey(0), TINY)
+
+
+def _ctx(b=1):
+    k = jax.random.PRNGKey(5)
+    return {"cond": jax.random.normal(k, (b, 4, 32)),
+            "uncond": jnp.zeros((b, 4, 32))}
+
+
+def test_basic_denoise_runs_and_jits(unet_params):
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS, sampler="unipc")
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    out = run({"unet": unet_params}, lat, _ctx(),
+              {"guidance_scale": 7.5})
+    assert out.shape == lat.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_sampler_variant(unet_params):
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS, sampler="ddim")
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    out = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 5.0})
+    assert out.shape == lat.shape and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_cfg_guidance_changes_output(unet_params):
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS)
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    o1 = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 1.0})
+    o2 = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 9.0})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_no_guidance_mode(unet_params):
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS, guidance=False)
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    out = run({"unet": unet_params}, lat, _ctx(2), {})
+    assert out.shape == lat.shape
+
+
+def test_controlnet_conditioning(unet_params):
+    cn_cfg = C.ControlNetConfig(unet=TINY)
+    cn = CN.init_controlnet(jax.random.PRNGKey(2), cn_cfg)
+    cn = jax.tree.map(lambda a: a + 0.01 if a.ndim == 4 else a, cn)
+    cfg = DenoiseConfig(unet=TINY, controlnets=(cn_cfg,), num_steps=STEPS)
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    params = {"unet": unet_params, "controlnets": [cn]}
+    cond_a = jnp.zeros((1, 64, 64, 3))
+    cond_b = jnp.ones((1, 64, 64, 3))
+    oa = run(params, lat, _ctx(),
+             {"controlnet_conds": [cond_a], "controlnet_scales": [1.0],
+              "guidance_scale": 7.5})
+    ob = run(params, lat, _ctx(),
+             {"controlnet_conds": [cond_b], "controlnet_scales": [1.0],
+              "guidance_scale": 7.5})
+    oz = run(params, lat, _ctx(),
+             {"controlnet_conds": [cond_b], "controlnet_scales": [0.0],
+              "guidance_scale": 7.5})
+    assert not np.allclose(np.asarray(oa), np.asarray(ob))
+    # scale 0 kills conditioning: output matches the zero-cond-with-zero-
+    # hint-embedding path only if hint itself is nulled; at least differs
+    # from scale 1
+    assert not np.allclose(np.asarray(ob), np.asarray(oz))
+
+
+def test_inpaint_blend_preserves_outside(unet_params):
+    """With alignment_ratio=1.0 the outside-mask region must exactly equal
+    the original image latents after the final paste (reference
+    stable_diffusion_controlnet_inpaint.py:1658-1664)."""
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS, inpaint_mode="blend",
+                        alignment_ratio=None)
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    mask = jnp.zeros((1, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
+    out = run({"unet": unet_params}, lat, _ctx(),
+              {"guidance_scale": 7.5, "mask": mask, "image_latents": img,
+               "noise": noise})
+    outside = np.asarray((1 - mask) * (out - img))
+    np.testing.assert_allclose(outside, 0.0, atol=1e-5)
+    inside = np.asarray(mask * (out - img))
+    assert np.abs(inside).max() > 1e-3   # edit region actually generated
+
+
+def test_inpaint_partial_alignment(unet_params):
+    """alignment_ratio < 1: blending stops early, outside region is NOT
+    exactly the original (freely harmonized in late steps)."""
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS, inpaint_mode="blend",
+                        alignment_ratio=0.5)
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    mask = jnp.zeros((1, 8, 8, 1)).at[:, 2:6, 2:6].set(1.0)
+    out = run({"unet": unet_params}, lat, _ctx(),
+              {"guidance_scale": 7.5, "mask": mask, "image_latents": img,
+               "noise": noise})
+    outside = np.asarray((1 - mask) * (out - img))
+    assert np.abs(outside).max() > 1e-3
+
+
+def test_inpaint_unet9_channel_concat():
+    cfg9 = dataclasses.replace(TINY, in_channels=9)
+    p9 = U.init_unet(jax.random.PRNGKey(0), cfg9)
+    cfg = DenoiseConfig(unet=cfg9, num_steps=STEPS, inpaint_mode="unet9")
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    mask = jnp.zeros((1, 8, 8, 1))
+    mlat = jnp.zeros((1, 8, 8, 4))
+    out = run({"unet": p9}, lat, _ctx(),
+              {"guidance_scale": 7.5, "mask": mask,
+               "masked_image_latents": mlat})
+    assert out.shape == (1, 8, 8, 4)
+
+
+def test_data_parallel_denoise_on_mesh(unet_params):
+    """Full denoise sharded over the 8-device virtual mesh: batch of 8
+    (samples x CFG handled internally) with replicated params."""
+    mesh = make_mesh(n_data=8)
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS)
+    run = build_denoiser(cfg, SCHED, TS)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 4))
+    ctx = {"cond": jax.random.normal(jax.random.PRNGKey(5), (8, 4, 32)),
+           "uncond": jnp.zeros((8, 4, 32))}
+    params = replicate(mesh, {"unet": unet_params})
+    lat_s = shard_batch(mesh, lat)
+    ctx_s = shard_batch(mesh, ctx)
+
+    with mesh:
+        out = jax.jit(run)(params, lat_s, ctx_s, {"guidance_scale": 7.5})
+    assert out.shape == (8, 8, 8, 4)
+    # sharded result must match single-device result
+    ref = jax.jit(run)({"unet": unet_params}, lat, ctx,
+                       {"guidance_scale": 7.5})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_deterministic_given_latents(unet_params):
+    cfg = DenoiseConfig(unet=TINY, num_steps=STEPS)
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    o1 = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 7.5})
+    o2 = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 7.5})
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
