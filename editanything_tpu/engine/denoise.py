@@ -143,34 +143,58 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
         return out
 
     def blend_outside_mask(latents, i, inputs):
-        """Paste re-noised original-image latents outside the edit mask."""
+        """Per-step latent blending with the re-noised original.
+
+        "blend" (reference :1647-1656): requires alignment_ratio set; for
+        steps i < T*ratio, paste renoised(image_latents, t_{i+1}) OUTSIDE
+        the edit mask (the re-noising reuses the INITIAL noise, `noise =
+        latents` before the loop, :1446). alignment_ratio None => no
+        per-step blend (final paste only, :1658-1664).
+
+        "mix" (reference :2039-2051): runs for every i < T-1 with FRESH
+        noise per step (torch.randn_like): outside the mask a hard paste
+        of the renoised original while i < T*ratio (free afterwards);
+        INSIDE the mask always (1-alpha)*latents + alpha*renoised.
+        """
         if cfg.inpaint_mode not in ("blend", "mix"):
             return latents
-        mask = inputs["mask"].astype(jnp.float32)
+        mask = inputs["mask"].astype(jnp.float32)       # 1 = edit region
         img = inputs["image_latents"].astype(jnp.float32)
-        noise = inputs["noise"].astype(jnp.float32)
-        n_steps = n
 
-        t_next = jnp.where(i + 1 < n_steps, ts[jnp.minimum(i + 1, n_steps - 1)], -1)
-        renoised = jnp.where(
-            t_next >= 0,
-            sched.add_noise(schedule, img, noise, jnp.maximum(t_next, 0)),
-            img)
-
-        ratio = 1.0 if cfg.alignment_ratio is None else cfg.alignment_ratio
-        active = (i + 1) < jnp.asarray(ratio * n_steps)
         if cfg.inpaint_mode == "mix":
-            blended = (1.0 - cfg.alpha_weight) * latents + \
-                cfg.alpha_weight * renoised
-            outside = jnp.where(active, blended, latents)
+            key = jnp.asarray(inputs["noise_key"], jnp.uint32)
+            noise = jax.random.normal(
+                jax.random.fold_in(jax.random.wrap_key_data(key), i),
+                img.shape, jnp.float32)
         else:
+            if cfg.alignment_ratio is None:
+                return latents
+            noise = inputs["noise"].astype(jnp.float32)
+
+        t_next = ts[jnp.minimum(i + 1, n - 1)]
+        renoised = sched.add_noise(schedule, img, noise, t_next)
+        last = (i + 1) >= n
+
+        if cfg.inpaint_mode == "mix":
+            inside = (1.0 - cfg.alpha_weight) * latents + \
+                cfg.alpha_weight * renoised
+            active = i < jnp.asarray(cfg.alignment_ratio
+                                     if cfg.alignment_ratio is not None
+                                     else 1.0) * n
             outside = jnp.where(active, renoised, latents)
-        return mask * latents + (1.0 - mask) * outside
+            out = mask * inside + (1.0 - mask) * outside
+            # reference loop skips the blend at the final step (i < T-1)
+            return jnp.where(last, latents, out)
+        else:
+            active = (i < jnp.asarray(cfg.alignment_ratio) * n) & ~last
+            outside = jnp.where(active, renoised, latents)
+            return mask * latents + (1.0 - mask) * outside
 
     def final_paste(latents, inputs):
-        """alignment_ratio in {None, 1.0}: single clean paste at the end
-        (reference :1658-1664)."""
-        if cfg.inpaint_mode not in ("blend", "mix"):
+        """"blend" with alignment_ratio in {None, 1.0}: single clean paste
+        of the unnoised original outside the mask at the end (reference
+        :1658-1664). "mix" never final-pastes."""
+        if cfg.inpaint_mode != "blend":
             return latents
         if cfg.alignment_ratio is not None and cfg.alignment_ratio < 1.0:
             return latents

@@ -1,0 +1,121 @@
+"""ModelBundle — all weights + configs one pipeline run needs, as one pytree
+container with named ControlNets.
+
+Replaces the reference's pipeline-object rebuilds (editany_lora.py:343-423
+`obtain_generation_model`/`obtain_tile_model`, which re-instantiate whole
+diffusers pipelines and shuffle them between CPU/GPU on every checkpoint
+switch, :659-703). Here the compiled programs are keyed by *architecture*
+(DenoiseConfig); switching checkpoints just swaps param trees — no recompile,
+no host<->device churn beyond the new weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from editanything_tpu.models import config as C
+from editanything_tpu.models import unet as U
+from editanything_tpu.models import controlnet as CN
+from editanything_tpu.models import vae as V
+from editanything_tpu.models import clip_text as CT
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Configs + params for one base model and its named ControlNets."""
+    unet_cfg: C.UNetConfig
+    vae_cfg: C.VAEConfig
+    text_cfg: C.CLIPTextConfig
+    unet: Any                 # param tree
+    vae: Any
+    text: Any
+    tokenizer: Any
+    # name -> (ControlNetConfig, params); reference names its checkpoints in
+    # config_dict (editany_lora.py:72-79) and wires [SAM ctrl, inpaint ctrl]
+    # (+ tile ctrl in the refine pipe)
+    controlnets: Dict[str, Tuple[C.ControlNetConfig, Any]] = \
+        dataclasses.field(default_factory=dict)
+    dtype: Any = jnp.bfloat16
+
+    def controlnet_cfgs(self, names) -> Tuple[C.ControlNetConfig, ...]:
+        return tuple(self.controlnets[n][0] for n in names)
+
+    def controlnet_params(self, names):
+        return [self.controlnets[n][1] for n in names]
+
+    def swap_controlnet(self, name: str, params) -> None:
+        """Hot-swap a ControlNet checkpoint (same arch, no recompile) —
+        the TPU answer to the reference's pipeline rebuild (:677-693)."""
+        cfg, _ = self.controlnets[name]
+        self.controlnets[name] = (cfg, params)
+
+
+def random_bundle(key=None, *, tiny: bool = True,
+                  controlnet_names=("sam", "inpaint"),
+                  dtype=jnp.float32, tokenizer=None) -> ModelBundle:
+    """Randomly-initialized bundle. tiny=True gives test-sized models;
+    tiny=False gives real SD1.5 shapes (for benchmarks; weights random)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    if tiny:
+        ucfg = C.UNetConfig(
+            block_out_channels=(32, 64), layers_per_block=1,
+            cross_attention_dim=32, attention_head_dim=(2, 2),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            norm_num_groups=8)
+        vcfg = C.VAEConfig(block_out_channels=(16, 32, 32, 32),
+                           layers_per_block=1, norm_num_groups=8)
+        tcfg = C.CLIPTextConfig(vocab_size=2000, hidden_size=32,
+                                intermediate_size=64, num_layers=2,
+                                num_heads=4, max_position_embeddings=8)
+    else:
+        ucfg = C.sd15_unet()
+        vcfg = C.VAEConfig()
+        tcfg = C.clip_vit_l()
+
+    if tokenizer is None:
+        from editanything_tpu.text.tokenizer import tiny_tokenizer
+        tokenizer = tiny_tokenizer(
+            context_length=tcfg.max_position_embeddings)
+
+    ks = jax.random.split(key, 4 + len(controlnet_names))
+    cns = {}
+    for i, name in enumerate(controlnet_names):
+        cn_cfg = C.ControlNetConfig(unet=ucfg)
+        cns[name] = (cn_cfg, CN.init_controlnet(ks[3 + i], cn_cfg, dtype))
+    return ModelBundle(
+        unet_cfg=ucfg, vae_cfg=vcfg, text_cfg=tcfg,
+        unet=U.init_unet(ks[0], ucfg, dtype),
+        vae=V.init_vae(ks[1], vcfg, dtype),
+        text=CT.init_clip_text(ks[2], tcfg, dtype),
+        tokenizer=tokenizer, controlnets=cns, dtype=dtype)
+
+
+def load_bundle(*, unet_path: str, vae_path: str, text_path: str,
+                tokenizer, controlnet_paths: Dict[str, str],
+                unet_cfg: Optional[C.UNetConfig] = None,
+                dtype=jnp.bfloat16) -> ModelBundle:
+    """Build a bundle from diffusers-layout safetensors checkpoints
+    (the formats inventoried in SURVEY.md section 5 'Checkpoint / resume')."""
+    from editanything_tpu.checkpoints import (
+        load_torch_state_dict, diffusers_to_tree, clip_text_to_tree)
+
+    ucfg = unet_cfg or C.sd15_unet()
+    vcfg = C.VAEConfig()
+    tcfg = C.clip_vit_l() if ucfg.cross_attention_dim == 768 \
+        else C.openclip_vit_h()
+    cns = {}
+    for name, path in controlnet_paths.items():
+        cn_cfg = C.ControlNetConfig(unet=ucfg)
+        cns[name] = (cn_cfg, diffusers_to_tree(
+            load_torch_state_dict(path), dtype=dtype))
+    return ModelBundle(
+        unet_cfg=ucfg, vae_cfg=vcfg, text_cfg=tcfg,
+        unet=diffusers_to_tree(load_torch_state_dict(unet_path), dtype=dtype),
+        vae=diffusers_to_tree(load_torch_state_dict(vae_path), dtype=dtype),
+        text=clip_text_to_tree(load_torch_state_dict(text_path), dtype=dtype),
+        tokenizer=tokenizer, controlnets=cns, dtype=dtype)

@@ -1,0 +1,216 @@
+"""The main edit pipeline: multi-ControlNet inpainting + tile refinement.
+
+Behavioral spec: /root/reference/editany_lora.py:609-938
+(`EditAnythingLoraModel.process`) and utils/stable_diffusion_controlnet_
+inpaint.py:1131-1703 (main + :1707-2088 mixing variant):
+
+- conditions: [SAM ID-map control @ control_scale, inpaint control @ 1.0]
+  (editany_lora.py:814-882); inpaint condition = image/255 with masked
+  pixels = -1 (:332-340)
+- 4-ch UNets: latent mask blending with alignment_ratio; 9-ch inpainting
+  UNets: mask + masked-image latents concatenated per step
+- alpha-mixing variant (StableDiffusionControlNetInpaintMixingPipeline)
+- tile refinement: the SAME inpaint program re-run at refine resolution
+  with the tile ControlNet conditioned on the upscaled output itself
+  (editany_lora.py:886-936)
+
+TPU design: one jitted scan per (arch, resolution, batch) from
+engine/denoise.py; VAE encode/decode inside the program; weights hot-swap
+without recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from editanything_tpu.engine import DenoiseConfig
+from editanything_tpu.models import vae as V
+from editanything_tpu.pipelines.bundle import ModelBundle
+from editanything_tpu.pipelines.generate import (GenerationPipeline,
+                                                 ProgramCache, to_uint8)
+from editanything_tpu.samplers import make_schedule, make_timesteps
+from editanything_tpu.samplers import schedule as sched
+from editanything_tpu.utils import HWC3, resize_image
+
+
+def make_inpaint_condition(image_01: np.ndarray,
+                           mask: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float [0,1] + (H, W) mask -> inpaint-ControlNet condition:
+    masked pixels set to -1 (reference editany_lora.py:332-340)."""
+    cond = np.array(image_01, np.float32, copy=True)
+    cond[mask > 0.5] = -1.0
+    return cond
+
+
+class EditPipeline(GenerationPipeline):
+    """Inpainting edit with [SAM control, inpaint control] (+ tile refine).
+
+    controls: names into bundle.controlnets; the LAST one (when
+    `use_inpaint_condition`) receives the masked-pixel condition, matching
+    the reference's [SAM ctrl @ control_scale, inpaint ctrl @ 1.0] wiring.
+    """
+
+    def __init__(self, bundle: ModelBundle,
+                 controls: Sequence[str] = ("sam", "inpaint"),
+                 inpaint_mode: str = "blend"):
+        super().__init__(bundle, controlnet=controls[0])
+        self.controls = tuple(controls)
+        self.inpaint_mode = inpaint_mode
+        self.cache = ProgramCache()
+        self._encode = jax.jit(
+            lambda p, x: V.encode_to_latents(p, bundle.vae_cfg, x))
+
+    # -- host-side input prep ------------------------------------------------
+
+    def _prep(self, image: np.ndarray, mask: np.ndarray,
+              image_resolution: int):
+        img = resize_image(HWC3(image.astype(np.uint8)), image_resolution)
+        h, w = img.shape[:2]
+        m = np.asarray(mask, np.float32)
+        if m.ndim == 3:
+            m = m[..., 0]
+        if m.max() > 1.5:
+            m = m / 255.0
+        m = np.asarray(
+            jax.image.resize(jnp.asarray(m), (h, w), method="nearest"))
+        m = (m >= 0.5).astype(np.float32)
+        return img, m, h, w
+
+    def _latent_inputs(self, img_uint8, mask_hw, h, w, num_samples, key):
+        """VAE-encode the masked image; build latent-res mask tensors."""
+        b = self.bundle
+        img01 = img_uint8.astype(np.float32) / 255.0
+        masked01 = img01 * (mask_hw[..., None] < 0.5)
+        masked = jnp.asarray(masked01 * 2.0 - 1.0, jnp.float32)[None]
+        lat = self._encode(b.vae, masked.astype(b.dtype))
+        lat = jnp.broadcast_to(lat, (num_samples,) + lat.shape[1:])
+        lat = lat.astype(jnp.float32)
+        # nearest-downsample mask to latent res (reference :1484-1489)
+        mlat = jax.image.resize(jnp.asarray(mask_hw), (h // 8, w // 8),
+                                method="nearest")
+        mlat = jnp.broadcast_to(mlat[None, :, :, None],
+                                (num_samples, h // 8, w // 8, 1))
+        return lat, mlat
+
+    # -- main edit ----------------------------------------------------------
+
+    def __call__(self, *, image: np.ndarray, mask: np.ndarray,
+                 prompt: str, condition_image: np.ndarray,
+                 negative_prompt: str = "",
+                 num_samples: int = 1, image_resolution: int = 512,
+                 num_steps: int = 30, guidance_scale: float = 9.0,
+                 control_scale: float = 0.5,
+                 scale_map: Optional[np.ndarray] = None,
+                 alignment_ratio: Optional[float] = None,
+                 alpha_weight: float = 0.5,
+                 guess_mode: bool = False, sampler: str = "unipc",
+                 seed: int = 0,
+                 return_latents: bool = False):
+        """Returns (num_samples, H, W, 3) uint8 edited images."""
+        b = self.bundle
+        img, m, h, w = self._prep(image, mask, image_resolution)
+
+        dcfg = DenoiseConfig(
+            unet=b.unet_cfg, controlnets=b.controlnet_cfgs(self.controls),
+            num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
+            inpaint_mode=self.inpaint_mode,
+            alignment_ratio=alignment_ratio, alpha_weight=alpha_weight)
+        program = self.cache.get(b, dcfg, num_steps,
+                                 with_scale_maps=scale_map is not None,
+                                 decode=not return_latents)
+
+        context = self.embed_prompts(prompt, negative_prompt, num_samples)
+
+        # control conditions: SAM map first, inpaint condition last
+        conds = [self.prepare_condition(condition_image, h, w, num_samples)]
+        scales = [float(control_scale)]
+        if len(self.controls) > 1:
+            inp = make_inpaint_condition(img.astype(np.float32) / 255.0, m)
+            inp = jnp.broadcast_to(jnp.asarray(inp)[None],
+                                   (num_samples, h, w, 3)).astype(b.dtype)
+            conds.append(inp)
+            scales.append(1.0)
+
+        key = jax.random.PRNGKey(seed)
+        k_lat, k_noise, k_mix = jax.random.split(key, 3)
+        image_latents, mask_latents = self._latent_inputs(
+            img, m, h, w, num_samples, k_lat)
+
+        # initial latents; the reference re-noises with this SAME tensor in
+        # blend mode ("noise = latents" before the loop, :1446)
+        latents = jax.random.normal(k_noise, image_latents.shape, jnp.float32)
+
+        inputs = {
+            "controlnet_conds": conds,
+            "controlnet_scales": scales,
+            "guidance_scale": float(guidance_scale),
+            "mask": mask_latents.astype(jnp.float32),
+            "image_latents": image_latents,
+            "noise": latents,
+        }
+        if self.inpaint_mode == "unet9":
+            inputs["masked_image_latents"] = image_latents
+        if self.inpaint_mode == "mix":
+            # raw uint32 key data; the engine folds the step index in for
+            # the reference's fresh-noise-per-step renoising (:2043)
+            inputs["noise_key"] = jax.random.PRNGKey(seed + 1)
+        if scale_map is not None:
+            # the per-pixel map applies to the first (SAM) control only
+            smap = jax.image.resize(jnp.asarray(scale_map, jnp.float32),
+                                    (h, w), method="bilinear")
+            smap = jnp.broadcast_to(smap[None], (num_samples, h, w))
+            inputs["controlnet_scale_maps"] = \
+                [smap] + [None] * (len(conds) - 1)
+
+        # "mix": outside-mask region starts as the renoised original
+        # (reference :1970-1977)
+        if self.inpaint_mode == "mix":
+            t0 = int(make_timesteps(num_steps)[0])
+            renoised = sched.add_noise(
+                make_schedule(), image_latents,
+                jax.random.normal(k_mix, image_latents.shape, jnp.float32),
+                jnp.asarray(t0))
+            keep = 1.0 - mask_latents
+            latents = keep * renoised + mask_latents * latents
+        latents = latents.astype(b.dtype)
+
+        params = {"unet": b.unet,
+                  "controlnets": b.controlnet_params(self.controls),
+                  "vae": b.vae}
+        out = program(params, latents, context, inputs)
+        if return_latents:
+            return jax.device_get(out)
+        return to_uint8(jax.device_get(out))
+
+    # -- tile refinement ------------------------------------------------------
+
+    def tile_refine(self, images_uint8: np.ndarray, mask: np.ndarray,
+                    prompt: str, *, tile_control: str = "tile",
+                    negative_prompt: str = "",
+                    refine_image_resolution: int = 1024,
+                    num_steps: int = 30, guidance_scale: float = 9.0,
+                    alignment_ratio: float = 0.95,
+                    sampler: str = "unipc", seed: int = 0) -> List[np.ndarray]:
+        """Second diffusion pass per sample at refine resolution, the tile
+        ControlNet conditioned on the upscaled image itself
+        (editany_lora.py:886-936)."""
+        refined = []
+        tile_pipe = EditPipeline(self.bundle, controls=(tile_control,),
+                                 inpaint_mode="blend")
+        tile_pipe.cache = self.cache       # share compiled programs
+        for i in range(images_uint8.shape[0]):
+            img_tile = resize_image(images_uint8[i], refine_image_resolution)
+            out = tile_pipe(
+                image=img_tile, mask=mask, prompt=prompt,
+                condition_image=img_tile, negative_prompt=negative_prompt,
+                num_samples=1,
+                image_resolution=refine_image_resolution,
+                num_steps=num_steps, guidance_scale=guidance_scale,
+                control_scale=1.0, alignment_ratio=alignment_ratio,
+                sampler=sampler, seed=seed + i)
+            refined.append(out[0])
+        return refined

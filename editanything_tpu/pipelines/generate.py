@@ -1,0 +1,138 @@
+"""Text+segmentation -> image generation (the reference's sam2image path).
+
+Behavioral spec: /root/reference/sam2image.py:122-180 `process` and
+utils/stable_diffusion_controlnet.py:346-662
+(`StableDiffusionControlNetPipeline2.__call__`): CFG denoise loop with a
+single SAM-condition ControlNet, optional per-pixel conditioning scale map,
+guess mode, UniPC scheduler, `num_images_per_prompt` batching.
+
+TPU design: the whole steps x (ControlNet+UNet+CFG+scheduler) loop plus the
+VAE decode is ONE jitted program from engine/denoise.py, cached per
+(architecture, resolution, batch) key; prompts embed through one batched
+encoder call (engine/prompts.py). Checkpoint switches swap weights only.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from editanything_tpu.engine import DenoiseConfig, build_denoiser
+from editanything_tpu.engine import prompts as P
+from editanything_tpu.models import vae as V
+from editanything_tpu.pipelines.bundle import ModelBundle
+from editanything_tpu.samplers import make_schedule, make_timesteps
+from editanything_tpu.utils import HWC3, resize_image
+
+
+def to_uint8(img_f32: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> uint8."""
+    return np.clip((np.asarray(img_f32, np.float32) + 1.0) * 127.5,
+                   0, 255).astype(np.uint8)
+
+
+class ProgramCache:
+    """jit-compiled denoise+decode programs keyed by static structure."""
+
+    def __init__(self):
+        self._programs: Dict = {}
+
+    def get(self, bundle: ModelBundle, dcfg: DenoiseConfig, steps_key,
+            *, with_scale_maps: bool, decode: bool = True):
+        key = (dcfg, steps_key, with_scale_maps, decode, bundle.dtype)
+        if key not in self._programs:
+            schedule = make_schedule()
+            ts = make_timesteps(dcfg.num_steps,
+                                spacing=dcfg.timestep_spacing)
+            denoise = build_denoiser(dcfg, schedule, ts)
+            vcfg = bundle.vae_cfg
+
+            def program(params, latents, context, inputs):
+                final = denoise(params, latents, context, inputs)
+                if not decode:
+                    return final
+                return V.decode_from_latents(
+                    params["vae"], vcfg, final.astype(latents.dtype))
+
+            self._programs[key] = jax.jit(program, donate_argnums=(1,))
+        return self._programs[key]
+
+
+class GenerationPipeline:
+    """txt2img with one ControlNet condition (sam2image.py semantics)."""
+
+    def __init__(self, bundle: ModelBundle, controlnet: str = "sam"):
+        self.bundle = bundle
+        self.controlnet = controlnet
+        self.cache = ProgramCache()
+
+    def prepare_condition(self, condition_map: np.ndarray,
+                          h: int, w: int, batch: int) -> jnp.ndarray:
+        """uint8 (Hc, Wc, 3) ID map -> (B, H, W, 3) in [0, 1], resized
+        bilinear like the reference (sam2image.py:153-156)."""
+        cond = jnp.asarray(HWC3(condition_map.astype(np.uint8)),
+                           jnp.float32) / 255.0
+        cond = jax.image.resize(cond, (h, w, 3), method="bilinear")
+        return jnp.broadcast_to(cond[None], (batch, h, w, 3)) \
+                  .astype(self.bundle.dtype)
+
+    def embed_prompts(self, prompt: str, negative_prompt: str, batch: int):
+        b = self.bundle
+        cond, uncond = P.get_pipeline_embeds(
+            b.text, b.text_cfg, b.tokenizer, prompt, negative_prompt,
+            layer_skip=b.text_cfg.layer_skip)
+        rep = lambda x: jnp.broadcast_to(
+            x, (batch,) + x.shape[1:]).astype(b.dtype)
+        return {"cond": rep(cond), "uncond": rep(uncond)}
+
+    def __call__(self, *, prompt: str, condition_image: np.ndarray,
+                 negative_prompt: str = "",
+                 num_samples: int = 1, image_resolution: int = 512,
+                 num_steps: int = 20, guidance_scale: float = 9.0,
+                 control_scale: float = 1.0,
+                 scale_map: Optional[np.ndarray] = None,
+                 guess_mode: bool = False, sampler: str = "unipc",
+                 seed: int = 0) -> np.ndarray:
+        """Returns (num_samples, H, W, 3) uint8 images."""
+        b = self.bundle
+        # resolution handling mirrors sam2image.py:146-156: the output size
+        # comes from resizing the condition to `image_resolution`
+        sized = resize_image(HWC3(condition_image.astype(np.uint8)),
+                             image_resolution)
+        h, w = sized.shape[:2]
+        lat_h, lat_w = h // 8, w // 8
+
+        dcfg = DenoiseConfig(
+            unet=b.unet_cfg,
+            controlnets=b.controlnet_cfgs((self.controlnet,)),
+            num_steps=num_steps, sampler=sampler, guess_mode=guess_mode)
+        program = self.cache.get(b, dcfg, num_steps,
+                                 with_scale_maps=scale_map is not None)
+
+        context = self.embed_prompts(prompt, negative_prompt, num_samples)
+        cond = self.prepare_condition(condition_image, h, w, num_samples)
+        inputs = {
+            "controlnet_conds": [cond],
+            "controlnet_scales": [float(control_scale)],
+            "guidance_scale": float(guidance_scale),
+        }
+        if scale_map is not None:
+            smap = jax.image.resize(
+                jnp.asarray(scale_map, jnp.float32), (h, w),
+                method="bilinear")
+            inputs["controlnet_scale_maps"] = [
+                jnp.broadcast_to(smap[None], (num_samples, h, w))]
+
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            key, (num_samples, lat_h, lat_w, 4), jnp.float32
+        ).astype(b.dtype)
+
+        params = {"unet": b.unet,
+                  "controlnets": b.controlnet_params((self.controlnet,)),
+                  "vae": b.vae}
+        img = program(params, latents, context, inputs)
+        return to_uint8(jax.device_get(img))
