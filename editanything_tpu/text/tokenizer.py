@@ -214,6 +214,119 @@ def _load_merges(path: str) -> List[str]:
     return [l for l in lines if l.strip()]
 
 
+class GPT2Tokenizer:
+    """Byte-level BPE as used by GPT-2/OPT (BLIP2's language side).
+
+    Differences from CLIP BPE: no '</w>' end-of-word marker (spaces are
+    encoded into tokens via the 'Ġ' byte symbol), no lowercasing, and the
+    GPT-2 split pattern. Loads HF-format vocab.json + merges.txt
+    (user-supplied; zero-egress environment).
+    """
+
+    _PAT = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+        re.UNICODE)
+
+    def __init__(self, vocab: Dict[str, int], merges: Sequence[str],
+                 bos_token: str = "</s>", eos_token: str = "</s>",
+                 pad_token: str = "<pad>"):
+        self.byte_encoder = bytes_to_unicode()
+        self.encoder = dict(vocab)
+        self.decoder = {i: t for t, i in self.encoder.items()}
+        pairs = [tuple(m.split()) for m in merges if m.strip()]
+        self.bpe_ranks = {p: i for i, p in enumerate(pairs)}
+        self.cache: Dict[str, str] = {}
+        self.bos_id = self.encoder.get(bos_token, 2)
+        self.eos_id = self.encoder.get(eos_token, 2)
+        self.pad_id = self.encoder.get(pad_token, 1)
+
+    @classmethod
+    def from_files(cls, vocab_json: str, merges_txt: str, **kw):
+        with open(vocab_json) as f:
+            vocab = json.load(f)
+        with open(merges_txt) as f:
+            lines = f.read().split("\n")
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+        return cls(vocab, lines, **kw)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token)
+        pairs = _get_pairs(word) if len(word) > 1 else set()
+        while pairs:
+            bigram = min(pairs,
+                         key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for token in self._PAT.findall(text):
+            token = "".join(self.byte_encoder[b]
+                            for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        text = "".join(self.decoder.get(int(i), "") for i in ids
+                       if int(i) not in (self.bos_id, self.pad_id))
+        raw = bytearray(byte_decoder[c] for c in text if c in byte_decoder)
+        return raw.decode("utf-8", errors="replace")
+
+
+def tiny_gpt2_tokenizer(words: Sequence[str] = ("a", "cat", "dog", "photo")
+                        ) -> GPT2Tokenizer:
+    """Small GPT-2-style tokenizer for tests: byte vocab + per-word merges
+    (with the leading-space 'Ġ' variants)."""
+    base = list(bytes_to_unicode().values())
+    merges: List[str] = []
+    toks: List[str] = []
+    for w in words:
+        for prefix in ("", "Ġ"):       # plain and space-prefixed
+            chars = list(prefix + w)
+            while len(chars) > 1:
+                merges.append(f"{chars[0]} {chars[1]}")
+                chars = [chars[0] + chars[1]] + chars[2:]
+                toks.append(chars[0])  # include intermediate merge results
+    seen: set = set()
+    merges = [m for m in merges if not (m in seen or seen.add(m))]
+    vocab = {"<pad>": 1, "</s>": 2}
+    idx = 3
+    for t in base + toks:
+        if t not in vocab:
+            vocab[t] = idx
+            idx += 1
+    return GPT2Tokenizer(vocab, merges)
+
+
 def tiny_tokenizer(words: Sequence[str] = ("photo", "of", "a", "cat", "dog"),
                    context_length: int = 77) -> CLIPTokenizer:
     """Deterministic small tokenizer for tests: merges that build the given
