@@ -1,0 +1,216 @@
+"""CLI entry points — the reference's script surface, headless.
+
+Subcommands map 1:1 to the reference entry scripts:
+  generate    -> /root/reference/sam2image.py (text+SAM-seg -> images)
+  edit        -> /root/reference/editany.py via EditAnythingLoraModel.process
+  sketch      -> /root/reference/sketch2image.py
+  semantic    -> /root/reference/sam2semantic.py
+  replay      -> /root/reference/editany_nogradio.py (pickle replay)
+  caption-data-> /root/reference/dataset_build.py (BLIP2 captions -> data.txt)
+
+Checkpoint paths are user-supplied (zero-egress image); every subcommand
+accepts --bundle-spec, a json file naming the safetensors checkpoints:
+{"unet": ..., "vae": ..., "text": ..., "tokenizer_merges": ...,
+ "controlnets": {"sam": ..., "inpaint": ..., "tile": ...},
+ "sam": ..., "blip2": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _save_images(images, out_prefix: str):
+    from PIL import Image
+    paths = []
+    for i, img in enumerate(np.asarray(images)):
+        p = f"{out_prefix}_{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    return paths
+
+
+def _build_bundle(spec_path: str):
+    from editanything_tpu.pipelines import load_bundle
+    from editanything_tpu.text.tokenizer import CLIPTokenizer
+    with open(spec_path) as f:
+        spec = json.load(f)
+    tok = CLIPTokenizer(vocab_path=spec["tokenizer_merges"])
+    return load_bundle(
+        unet_path=spec["unet"], vae_path=spec["vae"],
+        text_path=spec["text"], tokenizer=tok,
+        controlnet_paths=spec.get("controlnets", {})), spec
+
+
+def _build_editor(spec_path: str):
+    from editanything_tpu.pipelines import EditAnythingEditor
+    bundle, spec = _build_bundle(spec_path)
+    sam = captioner = None
+    if spec.get("sam"):
+        from editanything_tpu.checkpoints import (load_torch_state_dict,
+                                                  sam_to_tree)
+        from editanything_tpu.models.sam import SAMConfig
+        cfg = SAMConfig()
+        sam = (cfg, sam_to_tree(load_torch_state_dict(spec["sam"])))
+    if spec.get("blip2"):
+        from editanything_tpu.checkpoints.convert import load_torch_state_dict
+        from editanything_tpu.models import blip2 as B2
+        from editanything_tpu.pipelines import Captioner
+        from editanything_tpu.text.tokenizer import GPT2Tokenizer
+        cfg = B2.BLIP2Config()
+        params = load_torch_state_dict(spec["blip2"])  # tree via convert
+        tok = GPT2Tokenizer.from_files(spec["blip2_vocab"],
+                                       spec["blip2_merges"])
+        captioner = Captioner(params, cfg, tok)
+    return EditAnythingEditor(bundle, sam=sam, captioner=captioner), spec
+
+
+def cmd_generate(args):
+    from editanything_tpu.pipelines import GenerationPipeline
+    bundle, _ = _build_bundle(args.bundle_spec)
+    pipe = GenerationPipeline(bundle, controlnet="sam")
+    cond = _load_image(args.condition)
+    imgs = pipe(prompt=args.prompt, condition_image=cond,
+                negative_prompt=args.negative_prompt,
+                num_samples=args.num_samples,
+                image_resolution=args.resolution, num_steps=args.steps,
+                guidance_scale=args.scale, control_scale=args.control_scale,
+                guess_mode=args.guess_mode, seed=args.seed)
+    print("\n".join(_save_images(imgs, args.output)))
+
+
+def cmd_edit(args):
+    editor, _ = _build_editor(args.bundle_spec)
+    mask = _load_image(args.mask)[..., 0] if args.mask else None
+    tile, results, _, prompt = editor.process(
+        image=_load_image(args.image), mask=mask, prompt=args.prompt,
+        n_prompt=args.negative_prompt,
+        enable_auto_prompt=args.auto_prompt,
+        enable_all_generate=args.mask is None,
+        num_samples=args.num_samples, image_resolution=args.resolution,
+        detect_resolution=args.detect_resolution, ddim_steps=args.steps,
+        scale=args.scale, control_scale=args.control_scale, seed=args.seed,
+        alignment_ratio=args.alignment_ratio, enable_tile=args.tile,
+        refine_image_resolution=args.refine_resolution)
+    print("prompt:", prompt)
+    print("\n".join(_save_images(results, args.output)))
+    if tile:
+        print("\n".join(_save_images(np.stack(tile), args.output + "_tile")))
+
+
+def cmd_sketch(args):
+    from editanything_tpu.pipelines import SketchPipeline
+    bundle, _ = _build_bundle(args.bundle_spec)
+    pipe = SketchPipeline(bundle, controlnet="sam")
+    imgs = pipe(sketch=_load_image(args.sketch), prompt=args.prompt,
+                use_scale_map=not args.no_scale_map,
+                num_samples=args.num_samples,
+                image_resolution=args.resolution, num_steps=args.steps,
+                guidance_scale=args.scale, seed=args.seed)
+    print("\n".join(_save_images(imgs, args.output)))
+
+
+def cmd_semantic(args):
+    editor, _ = _build_editor(args.bundle_spec)
+    img = _load_image(args.image)
+    cond = editor.get_sam_control(img)
+    print("condition map saved:", _save_images(cond[None], args.output)[0])
+
+
+def cmd_replay(args):
+    """Re-run a pickled process() invocation headless
+    (editany_nogradio.py:1-16 semantics)."""
+    editor, _ = _build_editor(args.bundle_spec)
+    with open(args.pickle, "rb") as f:
+        data = pickle.load(f)
+    kwargs = data.get("kwargs", {})
+    tile, results, _, prompt = editor.process(**kwargs)
+    print("prompt:", prompt)
+    print("\n".join(_save_images(results, args.output)))
+
+
+def cmd_caption_data(args):
+    """BLIP2-caption every jpg -> data.txt (dataset_build.py:14-40)."""
+    editor, _ = _build_editor(args.bundle_spec)
+    names = sorted(n for n in os.listdir(args.data_path)
+                   if n.endswith(".jpg"))
+    with open(args.output, "w") as f:
+        for name in names:
+            img = _load_image(os.path.join(args.data_path, name))
+            text = editor.get_blip2_text(img)
+            f.write(repr({"target": name, "source": name[:-4] + ".json",
+                          "prompt": text}) + "\n")
+    print(f"wrote {len(names)} lines to {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("editanything-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--bundle-spec", required=True)
+        sp.add_argument("--output", default="out")
+        sp.add_argument("--prompt", default="")
+        sp.add_argument("--negative-prompt", default="")
+        sp.add_argument("--num-samples", type=int, default=1)
+        sp.add_argument("--resolution", type=int, default=512)
+        sp.add_argument("--steps", type=int, default=30)
+        sp.add_argument("--scale", type=float, default=9.0)
+        sp.add_argument("--control-scale", type=float, default=0.5)
+        sp.add_argument("--seed", type=int, default=0)
+
+    g = sub.add_parser("generate")
+    common(g)
+    g.add_argument("--condition", required=True)
+    g.add_argument("--guess-mode", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    e = sub.add_parser("edit")
+    common(e)
+    e.add_argument("--image", required=True)
+    e.add_argument("--mask")
+    e.add_argument("--auto-prompt", action="store_true")
+    e.add_argument("--detect-resolution", type=int, default=1024)
+    e.add_argument("--alignment-ratio", type=float)
+    e.add_argument("--tile", action="store_true")
+    e.add_argument("--refine-resolution", type=int, default=1024)
+    e.set_defaults(fn=cmd_edit)
+
+    s = sub.add_parser("sketch")
+    common(s)
+    s.add_argument("--sketch", required=True)
+    s.add_argument("--no-scale-map", action="store_true")
+    s.set_defaults(fn=cmd_sketch)
+
+    m = sub.add_parser("semantic")
+    common(m)
+    m.add_argument("--image", required=True)
+    m.set_defaults(fn=cmd_semantic)
+
+    r = sub.add_parser("replay")
+    common(r)
+    r.add_argument("--pickle", default="input_data.pkl")
+    r.set_defaults(fn=cmd_replay)
+
+    c = sub.add_parser("caption-data")
+    common(c)
+    c.add_argument("--data-path", required=True)
+    c.set_defaults(fn=cmd_caption_data)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

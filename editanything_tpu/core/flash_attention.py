@@ -147,6 +147,30 @@ def _on_tpu() -> bool:
 _MAX_KV_BYTES = 8 * 1024 * 1024
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    # backward recomputes through the XLA reference attention (rematerialized
+    # softmax; the Pallas kernel has no transpose rule). Same recompute
+    # strategy as flash-attention backward, done by XLA.
+    from editanything_tpu.core.layers import attention_reference
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: attention_reference(qq, kk, vv, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def dispatch(q, k, v, *, scale: Optional[float] = None, mask=None):
     """Route to the Pallas kernel when profitable, else the XLA reference."""
     from editanything_tpu.core.layers import attention_reference
@@ -157,4 +181,6 @@ def dispatch(q, k, v, *, scale: Optional[float] = None, mask=None):
     if (_DISABLED or mask is not None or not (_on_tpu() or _INTERPRET)
             or n < 128 or kv_bytes > _MAX_KV_BYTES):
         return attention_reference(q, k, v, scale=scale, mask=mask)
-    return flash_attention(q, k, v, scale=scale)
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_diff(q, k, v, scale)

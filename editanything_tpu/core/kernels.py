@@ -120,15 +120,48 @@ def _on_tpu() -> bool:
         return False
 
 
+def _gn_silu_reference(scale, bias, x, num_groups, eps, apply_silu):
+    from editanything_tpu.core import layers
+    y = layers.group_norm({"scale": scale, "bias": bias}, x,
+                          num_groups=num_groups, eps=eps)
+    return jax.nn.silu(y) if apply_silu else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu(scale, bias, x, num_groups, eps, apply_silu):
+    return _gn_silu_pallas(x, scale, bias, num_groups, eps, apply_silu)
+
+
+def _gn_silu_fwd(scale, bias, x, num_groups, eps, apply_silu):
+    # forward through the Pallas kernel; save primals for the backward
+    return _gn_silu(scale, bias, x, num_groups, eps, apply_silu), \
+        (scale, bias, x)
+
+
+def _gn_silu_bwd(num_groups, eps, apply_silu, res, g):
+    # backward recomputes through the XLA reference (the Pallas kernel has
+    # no transpose rule; training is memory-bound on convs anyway)
+    scale, bias, x = res
+    _, vjp = jax.vjp(
+        lambda s, b, xx: _gn_silu_reference(s, b, xx, num_groups, eps,
+                                            apply_silu), scale, bias, x)
+    return vjp(g)
+
+
+_gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
 def group_norm_silu(params, x, *, num_groups: int = 32, eps: float = 1e-5,
                     apply_silu: bool = True):
-    """Fused GroupNorm(+SiLU) with XLA fallback off-TPU / for huge blocks."""
+    """Fused GroupNorm(+SiLU); XLA fallback off-TPU / for huge blocks.
+
+    Differentiable: forward runs the Pallas kernel, backward re-derives
+    through the pure-XLA reference (custom_vjp)."""
     n, h, w, c = x.shape
     block_bytes = h * w * c * x.dtype.itemsize
     if (not _DISABLED and (_on_tpu() or _INTERPRET)
             and c % num_groups == 0 and block_bytes <= _MAX_BLOCK_BYTES):
-        return _gn_silu_pallas(x, params["scale"], params["bias"],
-                               num_groups, eps, apply_silu)
-    from editanything_tpu.core import layers
-    y = layers.group_norm(params, x, num_groups=num_groups, eps=eps)
-    return jax.nn.silu(y) if apply_silu else y
+        return _gn_silu(params["scale"], params["bias"], x,
+                        num_groups, eps, apply_silu)
+    return _gn_silu_reference(params["scale"], params["bias"], x,
+                              num_groups, eps, apply_silu)

@@ -32,6 +32,7 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from editanything_tpu.engine import refctrl
 from editanything_tpu.models import unet as U
 from editanything_tpu.models import controlnet as CN
 from editanything_tpu.samplers import schedule as sched
@@ -54,6 +55,9 @@ class DenoiseConfig:
     alpha_weight: float = 0.5            # "mix" variant blend factor
     prediction_type: str = "epsilon"
     timestep_spacing: str = "linspace"
+    # reference-only control (cross-image drag); extra inputs required:
+    # ref_image_latents, ref_mask, ref_context, ref_controlnet_conds
+    ref: Optional[refctrl.RefConfig] = None
 
 
 def _cat2(x):
@@ -81,6 +85,10 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
     ts = jnp.asarray(timesteps, jnp.int32)
     n = cfg.num_steps
     assert len(ts) == n
+    # guess mode batches cond-only through the ControlNet while ref banks
+    # assume the CFG pair; the combination is broken in the reference too
+    assert not (cfg.ref is not None and cfg.guess_mode), \
+        "reference-only control is incompatible with guess_mode"
 
     def model_output(params, latents, t, context, inputs):
         """ControlNet(s) + UNet + CFG at one timestep."""
@@ -107,6 +115,35 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
 
         tb = jnp.full((unet_in.shape[0],), t, jnp.int32)
 
+        # reference-only control: write pass over noised ref latents fills
+        # the feature banks each step (reference driver
+        # stable_diffusion_controlnet_inpaint.py:1562-1605)
+        ref_unet = ref_cn = None
+        if cfg.ref is not None:
+            ref_lat = inputs["ref_image_latents"].astype(jnp.float32)
+            noise = inputs["noise"].astype(jnp.float32)
+            ref_xt = sched.add_noise(schedule, ref_lat, noise, t) \
+                .astype(latents.dtype)
+            w_cn = refctrl.RefState(cfg.ref, "write",
+                                    ref_mask=inputs["ref_mask"],
+                                    inpaint_mask=inputs["mask"])
+            w_un = refctrl.RefState(cfg.ref, "write",
+                                    ref_mask=inputs["ref_mask"],
+                                    inpaint_mask=inputs["mask"])
+            tb_ref = jnp.full((ref_xt.shape[0],), t, jnp.int32)
+            ref_ctx = inputs["ref_context"].astype(latents.dtype)
+            rdown, rmid = None, None
+            if cfg.controlnets:
+                rdown, rmid = CN.multi_controlnet_apply(
+                    params["controlnets"], list(cfg.controlnets), ref_xt,
+                    tb_ref, ref_ctx, inputs["ref_controlnet_conds"],
+                    inputs["controlnet_scales"], None,
+                    guess_mode=cfg.guess_mode, ref=w_cn)
+            U.apply(params["unet"], cfg.unet, ref_xt, tb_ref, ref_ctx,
+                    down_block_residuals=rdown, mid_block_residual=rmid,
+                    ref=w_un)
+            ref_unet, ref_cn = w_un.reader(), w_cn.reader()
+
         down_res, mid_res = None, None
         if cfg.controlnets:
             conds = inputs["controlnet_conds"]
@@ -120,7 +157,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 cn_in = half if cfg.inpaint_mode != "unet9" else half
                 down_c, mid_c = CN.multi_controlnet_apply(
                     params["controlnets"], list(cfg.controlnets), cn_in, tb_h,
-                    context["cond"], conds, scales, smaps, guess_mode=True)
+                    context["cond"], conds, scales, smaps, guess_mode=True,
+                    ref=ref_cn)
                 down_res = tuple(jnp.concatenate([jnp.zeros_like(r), r], axis=0)
                                  for r in down_c)
                 mid_res = jnp.concatenate([jnp.zeros_like(mid_c), mid_c], axis=0)
@@ -131,11 +169,11 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 down_res, mid_res = CN.multi_controlnet_apply(
                     params["controlnets"], list(cfg.controlnets), lat_in, tb,
                     ctx, conds_in, scales, smaps_in,
-                    guess_mode=cfg.guess_mode)
+                    guess_mode=cfg.guess_mode, ref=ref_cn)
 
         out = U.apply(params["unet"], cfg.unet, unet_in, tb, ctx,
                       down_block_residuals=down_res,
-                      mid_block_residual=mid_res)
+                      mid_block_residual=mid_res, ref=ref_unet)
 
         if do_cfg:
             uncond, cond = jnp.split(out, 2, axis=0)

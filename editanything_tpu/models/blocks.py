@@ -69,11 +69,13 @@ def init_attention(key, query_dim, context_dim=None, dtype=jnp.float32):
     }
 
 
-def attention_layer(params, x, context=None, *, heads):
+def attention_layer(params, x, context=None, *, heads, context_mask=None):
     """Multi-head attention over (B, N, C) with optional cross context.
 
     QKV projections hit the MXU as single big matmuls; the core runs through
-    the Pallas flash kernel (core.flash_attention.dispatch)."""
+    the Pallas flash kernel (core.flash_attention.dispatch).
+    `context_mask`: boolean (.., 1, M) — False keys are excluded from the
+    softmax (used by reference-only control to mask bank tokens)."""
     context = x if context is None else context
     b, n, c = x.shape
     q = L.linear(params["to_q"], x)
@@ -83,7 +85,7 @@ def attention_layer(params, x, context=None, *, heads):
     q = q.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
     v = v.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
-    out = L.attention(q, k, v)
+    out = L.attention(q, k, v, mask=context_mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
     return L.linear(params["to_out"]["0"], out)
 
@@ -103,9 +105,21 @@ def init_transformer_block(key, dim, context_dim, dtype=jnp.float32):
     }
 
 
-def transformer_block(params, x, context, *, heads):
-    x = x + attention_layer(params["attn1"], L.layer_norm(params["norm1"], x),
-                            heads=heads)
+def transformer_block(params, x, context, *, heads, ref=None,
+                      attn_weight=0.0, hw=None):
+    """ref/attn_weight/hw: reference-only control hook on the self-attn
+    (engine/refctrl.py; reference stable_diffusion_reference.py:335-440)."""
+    norm_x = L.layer_norm(params["norm1"], x)
+    if ref is not None and ref.attn_active(attn_weight):
+        if ref.mode == "write":
+            ref.write_attn(norm_x, hw)
+            a = attention_layer(params["attn1"], norm_x, heads=heads)
+        else:
+            a = ref.read_attn(params["attn1"], norm_x, hw, heads,
+                              attention_layer)
+    else:
+        a = attention_layer(params["attn1"], norm_x, heads=heads)
+    x = x + a
     x = x + attention_layer(params["attn2"], L.layer_norm(params["norm2"], x),
                             context, heads=heads)
     h = L.geglu(params["ff"]["net"]["0"]["proj"],
@@ -135,7 +149,7 @@ def init_spatial_transformer(key, channels, context_dim, *, depth=1,
 
 
 def spatial_transformer(params, x, context, *, heads, use_linear=False,
-                        num_groups=32):
+                        num_groups=32, ref=None, attn_weight=0.0):
     """Flatten NHWC -> (B, H*W, C), run transformer blocks, residual add."""
     b, h, w, c = x.shape
     residual = x
@@ -148,7 +162,8 @@ def spatial_transformer(params, x, context, *, heads, use_linear=False,
         hidden = hidden.reshape(b, h * w, c)
     for i in range(len(params["transformer_blocks"])):
         hidden = transformer_block(params["transformer_blocks"][str(i)],
-                                   hidden, context, heads=heads)
+                                   hidden, context, heads=heads, ref=ref,
+                                   attn_weight=attn_weight, hw=(h, w))
     if use_linear:
         hidden = L.linear(params["proj_out"], hidden)
         hidden = hidden.reshape(b, h, w, c)

@@ -104,14 +104,19 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
           encoder_hidden_states, controlnet_cond, *,
           conditioning_scale=1.0,
           conditioning_scale_map: Optional[jnp.ndarray] = None,
-          guess_mode: bool = False):
+          guess_mode: bool = False, ref=None):
     """Returns (down_residuals tuple(12), mid_residual).
 
     `controlnet_cond`: (B, H*8, W*8, 3) image-space condition in [0, 1].
+    `ref`: refctrl.RefState — the reference hooks the LAST (inpaint)
+    ControlNet's blocks too (stable_diffusion_reference.py:999-1032).
     """
+    from editanything_tpu.engine import refctrl
     ucfg = cfg.unet
     temb = U.time_embed(params, ucfg, timesteps, sample.dtype)
     g = ucfg.norm_num_groups
+    n_down = len(ucfg.block_out_channels)
+    attn_w = refctrl.controlnet_attn_weights(cfg) if ref is not None else None
 
     hint = _hint_embedding(params, controlnet_cond.astype(sample.dtype))
 
@@ -119,7 +124,7 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
     h = L.conv2d(params["conv_in"], sample, padding=1)
     h = h + hint
     residuals = [h]
-    for bi in range(len(ucfg.block_out_channels)):
+    for bi in range(n_down):
         blk = params["down_blocks"][str(bi)]
         has_attn = "attentions" in blk
         heads = ucfg.heads_for_block(bi)
@@ -129,12 +134,16 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
                 h = B.spatial_transformer(
                     blk["attentions"][str(li)], h, encoder_hidden_states,
                     heads=heads, use_linear=ucfg.use_linear_projection,
-                    num_groups=g)
+                    num_groups=g, ref=ref,
+                    attn_weight=attn_w[f"down.{bi}.{li}"] if attn_w else 0.0)
+            else:
+                h = U._gn_hook(ref, h, refctrl.gn_weight_down(bi, n_down))
             residuals.append(h)
         if "downsamplers" in blk:
             h = B.downsample(blk["downsamplers"]["0"], h)
             residuals.append(h)
-    h = U.middle(params, ucfg, h, temb, encoder_hidden_states)
+    h = U.middle(params, ucfg, h, temb, encoder_hidden_states, ref=ref,
+                 attn_w=attn_w)
 
     down = [L.conv2d(params["controlnet_down_blocks"][str(i)], r, padding=0)
             for i, r in enumerate(residuals)]
@@ -155,17 +164,20 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
 
 def multi_controlnet_apply(param_list, cfg_list, sample, timesteps,
                            encoder_hidden_states, cond_list, scale_list,
-                           scale_map_list=None, guess_mode=False):
+                           scale_map_list=None, guess_mode=False, ref=None):
     """Sum residual stacks from several ControlNets (the reference's
     MultiControlNet path: SAM control + inpaint control,
-    editany_lora.py:814-882)."""
+    editany_lora.py:814-882). `ref` is applied to the LAST net only
+    (reference `model.nets[-1]`, stable_diffusion_reference.py:999)."""
     scale_map_list = scale_map_list or [None] * len(param_list)
     down_acc, mid_acc = None, None
-    for p, c, cond, s, smap in zip(param_list, cfg_list, cond_list,
-                                   scale_list, scale_map_list):
+    n = len(param_list)
+    for i, (p, c, cond, s, smap) in enumerate(zip(
+            param_list, cfg_list, cond_list, scale_list, scale_map_list)):
         down, mid = apply(p, c, sample, timesteps, encoder_hidden_states,
                           cond, conditioning_scale=s,
-                          conditioning_scale_map=smap, guess_mode=guess_mode)
+                          conditioning_scale_map=smap, guess_mode=guess_mode,
+                          ref=ref if i == n - 1 else None)
         if down_acc is None:
             down_acc, mid_acc = list(down), mid
         else:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from editanything_tpu.core import layers as L
 from editanything_tpu.core.kernels import group_norm_silu
+from editanything_tpu.engine import refctrl
 from editanything_tpu.models import blocks as B
 from editanything_tpu.models.config import UNetConfig
 
@@ -130,12 +131,25 @@ def time_embed(params, cfg: UNetConfig, timesteps, dtype):
     return t
 
 
-def encode(params, cfg: UNetConfig, sample, temb, context):
+def _gn_hook(ref, h, weight: float):
+    """Reference-only AdaIN hook after a plain-block resnet
+    (engine/refctrl.py; reference stable_diffusion_reference.py:645-700)."""
+    if ref is None or not ref.gn_active(weight):
+        return h
+    if ref.mode == "write":
+        ref.write_gn(h)
+        return h
+    return ref.read_gn(h)
+
+
+def encode(params, cfg: UNetConfig, sample, temb, context, *, ref=None,
+           attn_w=None):
     """conv_in + down path. Returns (hidden, residuals list of 12)."""
     g = cfg.norm_num_groups
+    n_down = len(cfg.block_out_channels)
     h = L.conv2d(params["conv_in"], sample, padding=1)
     residuals = [h]
-    for bi in range(len(cfg.block_out_channels)):
+    for bi in range(n_down):
         blk = params["down_blocks"][str(bi)]
         has_attn = "attentions" in blk
         heads = cfg.heads_for_block(bi)
@@ -144,7 +158,13 @@ def encode(params, cfg: UNetConfig, sample, temb, context):
             if has_attn:
                 h = B.spatial_transformer(
                     blk["attentions"][str(li)], h, context, heads=heads,
-                    use_linear=cfg.use_linear_projection, num_groups=g)
+                    use_linear=cfg.use_linear_projection, num_groups=g,
+                    ref=ref,
+                    attn_weight=attn_w[f"down.{bi}.{li}"] if attn_w else 0.0)
+            else:
+                # AdaIN hook: plain DownBlock2D only, gn_weight 1 - bi/n
+                # (reference :931-935 + hacked_DownBlock2D_forward)
+                h = _gn_hook(ref, h, refctrl.gn_weight_down(bi, n_down))
             residuals.append(h)
         if "downsamplers" in blk:
             h = B.downsample(blk["downsamplers"]["0"], h)
@@ -152,18 +172,24 @@ def encode(params, cfg: UNetConfig, sample, temb, context):
     return h, residuals
 
 
-def middle(params, cfg: UNetConfig, h, temb, context):
+def middle(params, cfg: UNetConfig, h, temb, context, *, ref=None,
+           attn_w=None):
     g = cfg.norm_num_groups
     mid = params["mid_block"]
     heads = cfg.heads_for_block(len(cfg.block_out_channels) - 1)
     h = B.resnet_block(mid["resnets"]["0"], h, temb, num_groups=g)
     h = B.spatial_transformer(mid["attentions"]["0"], h, context, heads=heads,
-                              use_linear=cfg.use_linear_projection, num_groups=g)
+                              use_linear=cfg.use_linear_projection,
+                              num_groups=g, ref=ref,
+                              attn_weight=attn_w["mid"] if attn_w else 0.0)
     h = B.resnet_block(mid["resnets"]["1"], h, temb, num_groups=g)
-    return h
+    # AdaIN hook wraps the whole mid block, gn_weight 0
+    # (reference hacked_mid_forward :479-530)
+    return _gn_hook(ref, h, 0.0)
 
 
-def decode(params, cfg: UNetConfig, h, residuals, temb, context):
+def decode(params, cfg: UNetConfig, h, residuals, temb, context, *, ref=None,
+           attn_w=None):
     g = cfg.norm_num_groups
     residuals = list(residuals)
     n_up = len(cfg.up_block_types)
@@ -178,7 +204,12 @@ def decode(params, cfg: UNetConfig, h, residuals, temb, context):
             if has_attn:
                 h = B.spatial_transformer(
                     blk["attentions"][str(li)], h, context, heads=heads,
-                    use_linear=cfg.use_linear_projection, num_groups=g)
+                    use_linear=cfg.use_linear_projection, num_groups=g,
+                    ref=ref,
+                    attn_weight=attn_w[f"up.{bi}.{li}"] if attn_w else 0.0)
+            else:
+                # plain UpBlock2D, gn_weight bi/n (reference :937-941)
+                h = _gn_hook(ref, h, refctrl.gn_weight_up(bi, n_up))
         if "upsamplers" in blk:
             h = B.upsample(blk["upsamplers"]["0"], h)
     h = group_norm_silu(params["conv_norm_out"], h, num_groups=g)
@@ -186,18 +217,23 @@ def decode(params, cfg: UNetConfig, h, residuals, temb, context):
 
 
 def apply(params, cfg: UNetConfig, sample, timesteps, encoder_hidden_states,
-          *, down_block_residuals=None, mid_block_residual=None):
+          *, down_block_residuals=None, mid_block_residual=None, ref=None):
     """UNet forward: (B,H,W,C_in) latents -> (B,H,W,C_out) prediction.
 
     `down_block_residuals` (tuple of 12) and `mid_block_residual` carry
     ControlNet outputs; multi-ControlNet callers pre-sum their stacks.
+    `ref`: refctrl.RefState for reference-only control (write/read pass).
     """
+    attn_w = refctrl.unet_attn_weights(cfg) if ref is not None else None
     temb = time_embed(params, cfg, timesteps, sample.dtype)
-    h, residuals = encode(params, cfg, sample, temb, encoder_hidden_states)
-    h = middle(params, cfg, h, temb, encoder_hidden_states)
+    h, residuals = encode(params, cfg, sample, temb, encoder_hidden_states,
+                          ref=ref, attn_w=attn_w)
+    h = middle(params, cfg, h, temb, encoder_hidden_states, ref=ref,
+               attn_w=attn_w)
     if down_block_residuals is not None:
         residuals = [r + c.astype(r.dtype)
                      for r, c in zip(residuals, down_block_residuals)]
     if mid_block_residual is not None:
         h = h + mid_block_residual.astype(h.dtype)
-    return decode(params, cfg, h, residuals, temb, encoder_hidden_states)
+    return decode(params, cfg, h, residuals, temb, encoder_hidden_states,
+                  ref=ref, attn_w=attn_w)

@@ -6,3 +6,6 @@ from editanything_tpu.pipelines.edit import (EditPipeline,
                                              make_inpaint_condition)
 from editanything_tpu.pipelines.sketch import (SketchPipeline,
                                                sketch_condition)
+from editanything_tpu.pipelines.captioner import (Captioner,
+                                                  semantic_labels)
+from editanything_tpu.pipelines.editor import EditAnythingEditor

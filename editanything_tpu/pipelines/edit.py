@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from editanything_tpu.engine import DenoiseConfig
+from editanything_tpu.engine import prompts as P
 from editanything_tpu.models import vae as V
 from editanything_tpu.pipelines.bundle import ModelBundle
 from editanything_tpu.pipelines.generate import (GenerationPipeline,
@@ -109,16 +110,42 @@ class EditPipeline(GenerationPipeline):
                  alpha_weight: float = 0.5,
                  guess_mode: bool = False, sampler: str = "unipc",
                  seed: int = 0,
-                 return_latents: bool = False):
-        """Returns (num_samples, H, W, 3) uint8 edited images."""
+                 return_latents: bool = False,
+                 # cross-image drag (reference-only control):
+                 ref_image: Optional[np.ndarray] = None,
+                 ref_mask: Optional[np.ndarray] = None,
+                 ref_prompt: Optional[str] = None,
+                 reference_attn: bool = True,
+                 reference_adain: bool = False,
+                 attention_auto_weight: float = 1.0,
+                 gn_auto_weight: float = 1.0,
+                 style_fidelity: float = 0.5,
+                 ref_scale: float = 0.0):
+        """Returns (num_samples, H, W, 3) uint8 edited images.
+
+        ref_image/ref_mask enable reference-only control: the masked ref
+        region's features steer the edit (editany_demo.py:132-225 cross-
+        image drag controls; engine/refctrl.py)."""
         b = self.bundle
         img, m, h, w = self._prep(image, mask, image_resolution)
+
+        ref_cfg = None
+        if ref_image is not None:
+            from editanything_tpu.engine.refctrl import RefConfig
+            ref_cfg = RefConfig(
+                reference_attn=reference_attn,
+                reference_adain=reference_adain,
+                attention_auto_weight=attention_auto_weight,
+                gn_auto_weight=gn_auto_weight,
+                style_fidelity=style_fidelity, ref_scale=ref_scale,
+                do_cfg=True)
 
         dcfg = DenoiseConfig(
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs(self.controls),
             num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
             inpaint_mode=self.inpaint_mode,
-            alignment_ratio=alignment_ratio, alpha_weight=alpha_weight)
+            alignment_ratio=alignment_ratio, alpha_weight=alpha_weight,
+            ref=ref_cfg)
         program = self.cache.get(b, dcfg, num_steps,
                                  with_scale_maps=scale_map is not None,
                                  decode=not return_latents)
@@ -165,6 +192,40 @@ class EditPipeline(GenerationPipeline):
             smap = jnp.broadcast_to(smap[None], (num_samples, h, w))
             inputs["controlnet_scale_maps"] = \
                 [smap] + [None] * (len(conds) - 1)
+
+        if ref_cfg is not None:
+            # ref-image prep: resize to edit res, VAE-encode; ref mask at
+            # latent res; cond-only ref prompt embeds; ref conds = main
+            # conds with the LAST replaced by the ref image itself
+            # (reference :1395-1422)
+            rimg = resize_image(HWC3(ref_image.astype(np.uint8)),
+                                image_resolution)
+            rimg = np.asarray(jax.image.resize(
+                jnp.asarray(rimg, jnp.float32), (h, w, 3), method="bilinear"))
+            rlat = self._encode(
+                b.vae, jnp.asarray(rimg / 127.5 - 1.0)[None].astype(b.dtype))
+            rlat = jnp.broadcast_to(rlat, (num_samples,) + rlat.shape[1:]) \
+                .astype(jnp.float32)
+            rm = np.asarray(ref_mask, np.float32)
+            if rm.ndim == 3:
+                rm = rm[..., 0]
+            if rm.max() > 1.5:
+                rm = rm / 255.0
+            rm = jax.image.resize(jnp.asarray(rm), (h // 8, w // 8),
+                                  method="nearest")
+            inputs["ref_image_latents"] = rlat
+            inputs["ref_mask"] = (rm >= 0.5).astype(jnp.float32)[
+                None, :, :, None]
+            rp = ref_prompt if ref_prompt is not None else prompt
+            ref_ctx, _ = P.get_pipeline_embeds(
+                b.text, b.text_cfg, b.tokenizer, rp, "")
+            inputs["ref_context"] = jnp.broadcast_to(
+                ref_ctx, (num_samples,) + ref_ctx.shape[1:]).astype(b.dtype)
+            ref_conds = [c[:num_samples] for c in conds]
+            ref_conds[-1] = jnp.broadcast_to(
+                jnp.asarray(rimg / 255.0)[None], (num_samples, h, w, 3)
+            ).astype(b.dtype)
+            inputs["ref_controlnet_conds"] = ref_conds
 
         # "mix": outside-mask region starts as the renoised original
         # (reference :1970-1977)

@@ -1,0 +1,203 @@
+"""EditAnythingEditor — the top-level orchestrator (SAM + BLIP2 + edit).
+
+Behavioral spec: /root/reference/editany_lora.py:452-938
+(`EditAnythingLoraModel`): wires SAM (auto masks + click predictor), BLIP2
+auto-prompting, the multi-ControlNet inpaint pipeline, and the tile
+refinement pass behind `process()` / `process_image_click()`.
+
+TPU design differences:
+- pipeline "rebuilds" (:659-703) are weight swaps on ModelBundle — the
+  compiled programs persist across checkpoint switches
+- SAM auto-mask generation is the compiled fixed-shape AMG
+  (perception/amg.py) instead of the torch Python grid loop
+- the click predictor caches the image embedding; repeated clicks are
+  ~ms decoder calls with fixed prompt slots (no retrace)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from editanything_tpu.perception import AMGConfig, build_amg, encode_id_map
+from editanything_tpu.perception.predictor import SamPredictor
+from editanything_tpu.pipelines.bundle import ModelBundle
+from editanything_tpu.pipelines.edit import EditPipeline
+from editanything_tpu.utils import HWC3, resize_image, resize_points
+
+
+def draw_click_overlay(image: np.ndarray, mask: np.ndarray,
+                       points: Sequence[Tuple[int, int, int]],
+                       radius: int = 5) -> np.ndarray:
+    """Green mask @0.75 alpha + point circles (green=fg, red=bg) —
+    reference overlay semantics (editany_lora.py:581-601), numpy only."""
+    out = image.astype(np.float32).copy()
+    m = mask.astype(bool)
+    green = np.array([0.0, 255.0, 0.0], np.float32)
+    out[m] = 0.25 * out[m] + 0.75 * green
+    h, w = out.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    for (x, y, lab) in points:
+        disk = (xx - x) ** 2 + (yy - y) ** 2 <= radius ** 2
+        out[disk] = green if lab == 1 else np.array([255.0, 0.0, 0.0])
+    return out.clip(0, 255).astype(np.uint8)
+
+
+class EditAnythingEditor:
+    """process()/process_image_click() orchestration over TPU pipelines."""
+
+    def __init__(self, bundle: ModelBundle, *,
+                 sam: Optional[tuple] = None,          # (SAMConfig, params)
+                 captioner=None,                       # pipelines.Captioner
+                 extra_inpaint: bool = True,
+                 tile_control: str = "tile",
+                 amg_config: Optional[AMGConfig] = None):
+        self.bundle = bundle
+        controls = ("sam", "inpaint") if extra_inpaint and \
+            "inpaint" in bundle.controlnets else ("sam",)
+        self.pipe = EditPipeline(bundle, controls=controls,
+                                 inpaint_mode="blend")
+        self.mix_pipe = EditPipeline(bundle, controls=controls,
+                                     inpaint_mode="mix")
+        self.mix_pipe.cache = self.pipe.cache
+        self.tile_control = tile_control if tile_control in \
+            bundle.controlnets else None
+        self.captioner = captioner
+        self.sam = sam
+        self.amg_cfg = amg_config or AMGConfig()
+        if sam is not None:
+            sam_cfg, sam_params = sam
+            self.sam_predictor = SamPredictor(sam_params, sam_cfg)
+            self._amg_encode, self._amg_generate = build_amg(
+                sam_cfg, self.amg_cfg)
+        self.click_points: List[Tuple[int, int, int]] = []
+
+    # -- captioning -----------------------------------------------------------
+
+    def get_blip2_text(self, image: np.ndarray) -> str:
+        """editany_lora.py:512-520."""
+        if self.captioner is None:
+            return ""
+        return self.captioner(image[None])[0]
+
+    # -- SAM auto condition ----------------------------------------------------
+
+    def get_sam_control(self, image: np.ndarray) -> np.ndarray:
+        """Full-image auto masks -> uint8 (H, W, 3) R/G ID condition map
+        (editany_lora.py:522-525 + show_anns :426-449)."""
+        assert self.sam is not None, "no SAM weights in this editor"
+        sam_cfg, sam_params = self.sam
+        from editanything_tpu.models import sam as SAM
+        from editanything_tpu.perception.amg import _grid_points
+        h, w = image.shape[:2]
+        scale = sam_cfg.img_size / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        from PIL import Image as PILImage
+        resized = np.asarray(
+            PILImage.fromarray(image).resize((nw, nh), PILImage.BILINEAR))
+        x = SAM.preprocess(jnp.asarray(resized), sam_cfg)
+        emb = self._amg_encode(sam_params, x)
+        pts = _grid_points(self.amg_cfg, nh, nw)
+        out = self._amg_generate(sam_params, emb, jnp.asarray(pts))
+        cond = encode_id_map(out["logits"], out["valid"], out_hw=(h, w))
+        return np.asarray(jax.device_get(cond))
+
+    # -- interactive click segmentation -----------------------------------------
+
+    def process_image_click(self, image: np.ndarray, x: int, y: int,
+                            is_foreground: bool = True,
+                            detect_resolution: int = 1024):
+        """Accumulate click points, predict the mask, return (overlay,
+        mask) — editany_lora.py:545-607."""
+        self.click_points.append((x, y, 1 if is_foreground else 0))
+        img = resize_image(HWC3(image.astype(np.uint8)), detect_resolution)
+        pts = resize_points(self.click_points, image.shape,
+                            detect_resolution)
+        self.sam_predictor.set_image(img)
+        coords = np.array([[p[0], p[1]] for p in pts], np.float32)
+        labels = np.array([p[2] for p in pts], np.int32)
+        masks, _, _ = self.sam_predictor.predict(
+            point_coords=coords, point_labels=labels,
+            multimask_output=False)
+        mask = masks[0]
+        overlay = draw_click_overlay(img, mask, pts)
+        return overlay, (mask.astype(np.uint8) * 255)
+
+    def clear_clicks(self):
+        self.click_points = []
+
+    # -- the main edit ----------------------------------------------------------
+
+    def process(self, *, image: np.ndarray, mask: Optional[np.ndarray],
+                prompt: str = "", a_prompt: str = "", n_prompt: str = "",
+                condition_image: Optional[np.ndarray] = None,
+                enable_auto_prompt: bool = False,
+                enable_all_generate: bool = False,
+                num_samples: int = 1, image_resolution: int = 512,
+                detect_resolution: int = 1024,
+                ddim_steps: int = 30, scale: float = 9.0,
+                control_scale: float = 0.5, seed: int = 0,
+                guess_mode: bool = False,
+                use_scale_map: bool = False,
+                scale_map: Optional[np.ndarray] = None,
+                alpha_weight: float = 0.5, use_alpha_mixing: bool = False,
+                alignment_ratio: Optional[float] = None,
+                enable_tile: bool = False,
+                refine_image_resolution: int = 1024,
+                refine_alignment_ratio: float = 0.95,
+                ref_image: Optional[np.ndarray] = None,
+                ref_mask: Optional[np.ndarray] = None,
+                ref_prompt: Optional[str] = None,
+                reference_attn: bool = True, reference_adain: bool = False,
+                attention_auto_weight: float = 1.0,
+                gn_auto_weight: float = 1.0,
+                style_fidelity: float = 0.5, ref_scale: float = 0.0):
+        """Returns (results_tile, results, [condition_map, mask], prompt) —
+        the reference's process() contract (editany_lora.py:609-938)."""
+        image = HWC3(np.asarray(image, np.uint8))
+
+        if enable_auto_prompt and self.captioner is not None:
+            blip2_prompt = self.get_blip2_text(
+                resize_image(image, min(detect_resolution, 512)))
+            prompt = (blip2_prompt + ", " + prompt) if prompt \
+                else blip2_prompt
+
+        if condition_image is None:
+            detect_img = resize_image(image, detect_resolution)
+            condition_image = self.get_sam_control(detect_img)
+
+        positive = f"{prompt}, {a_prompt}" if a_prompt else prompt
+
+        if enable_all_generate or mask is None:
+            mask = np.full(image.shape[:2], 255, np.uint8)
+
+        pipe = self.mix_pipe if use_alpha_mixing else self.pipe
+        results = pipe(
+            image=image, mask=mask, prompt=positive,
+            condition_image=condition_image, negative_prompt=n_prompt,
+            num_samples=num_samples, image_resolution=image_resolution,
+            num_steps=ddim_steps, guidance_scale=scale,
+            control_scale=control_scale,
+            scale_map=scale_map if use_scale_map else None,
+            alignment_ratio=alignment_ratio, alpha_weight=alpha_weight,
+            guess_mode=guess_mode, seed=seed,
+            ref_image=ref_image, ref_mask=ref_mask, ref_prompt=ref_prompt,
+            reference_attn=reference_attn, reference_adain=reference_adain,
+            attention_auto_weight=attention_auto_weight,
+            gn_auto_weight=gn_auto_weight,
+            style_fidelity=style_fidelity, ref_scale=ref_scale)
+
+        results_tile = []
+        if enable_tile and self.tile_control is not None:
+            results_tile = self.pipe.tile_refine(
+                results, mask, positive, tile_control=self.tile_control,
+                negative_prompt=n_prompt,
+                refine_image_resolution=refine_image_resolution,
+                num_steps=ddim_steps, guidance_scale=scale,
+                alignment_ratio=refine_alignment_ratio, seed=seed)
+
+        return (results_tile, [results[i] for i in range(len(results))],
+                [condition_image, mask], positive)

@@ -1,0 +1,120 @@
+"""Top-level EditAnythingEditor orchestration test (tiny everything)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from editanything_tpu.models import sam as SAM
+from editanything_tpu.models import blip2 as B2
+from editanything_tpu.perception import AMGConfig
+from editanything_tpu.pipelines import random_bundle
+from editanything_tpu.pipelines.captioner import Captioner
+from editanything_tpu.pipelines.editor import EditAnythingEditor
+from editanything_tpu.text.tokenizer import tiny_gpt2_tokenizer
+
+TINY_SAM = SAM.SAMConfig(
+    img_size=64, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+    global_attn_indexes=(1,), window_size=4, out_chans=16,
+    prompt_embed_dim=16, decoder_mlp_dim=32,
+)
+
+
+@pytest.fixture(scope="module")
+def editor():
+    bundle = random_bundle(jax.random.PRNGKey(0), tiny=True,
+                           controlnet_names=("sam", "inpaint", "tile"))
+    sam_params = SAM.init_sam(jax.random.PRNGKey(1), TINY_SAM)
+    bcfg = B2.tiny_blip2_config()
+    cap = Captioner(B2.init_blip2(jax.random.PRNGKey(2), bcfg), bcfg,
+                    tiny_gpt2_tokenizer(), max_new_tokens=3)
+    return EditAnythingEditor(
+        bundle, sam=(TINY_SAM, sam_params), captioner=cap,
+        extra_inpaint=True,
+        amg_config=AMGConfig(points_per_side=4, points_per_batch=16,
+                             pred_iou_thresh=-10.0,
+                             stability_score_thresh=-1.0, max_masks=16))
+
+
+def _image(h=96, w=96, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 255, (h, w, 3)).astype(np.uint8)
+
+
+class TestEditor:
+    def test_full_process_auto_everything(self, editor):
+        tile, results, (cond, mask), prompt = editor.process(
+            image=_image(), mask=None, prompt="a cat",
+            enable_auto_prompt=True, enable_all_generate=True,
+            num_samples=1, image_resolution=64, detect_resolution=64,
+            ddim_steps=2, seed=0)
+        assert len(results) == 1
+        assert results[0].shape == (64, 64, 3)
+        assert cond.shape[2] == 3          # auto SAM condition was built
+        assert "a cat" in prompt
+
+    def test_click_then_edit(self, editor):
+        editor.clear_clicks()
+        img = _image(seed=3)
+        overlay, mask = editor.process_image_click(
+            img, 40, 40, True, detect_resolution=64)
+        assert overlay.shape[2] == 3
+        assert mask.max() in (0, 255)
+        _, results, _, _ = editor.process(
+            image=img, mask=mask, prompt="dog",
+            condition_image=np.zeros((96, 96, 3), np.uint8),
+            image_resolution=64, ddim_steps=2, alignment_ratio=0.5, seed=1)
+        assert results[0].shape == (64, 64, 3)
+
+    def test_tile_refinement_path(self, editor):
+        tile, results, _, _ = editor.process(
+            image=_image(seed=4), mask=np.full((96, 96), 255, np.uint8),
+            prompt="x", condition_image=np.zeros((96, 96, 3), np.uint8),
+            image_resolution=64, ddim_steps=2, alignment_ratio=0.5,
+            enable_tile=True, refine_image_resolution=128, seed=2)
+        assert len(tile) == 1
+        assert tile[0].shape == (128, 128, 3)
+
+    def test_alpha_mixing_path(self, editor):
+        _, results, _, _ = editor.process(
+            image=_image(seed=5), mask=np.full((96, 96), 255, np.uint8),
+            prompt="x", condition_image=np.zeros((96, 96, 3), np.uint8),
+            image_resolution=64, ddim_steps=2, use_alpha_mixing=True,
+            alignment_ratio=0.5, alpha_weight=0.3, seed=2)
+        assert results[0].shape == (64, 64, 3)
+
+
+class TestTextGuidedEdit:
+    def test_remove_small_regions(self):
+        from editanything_tpu.perception.grounding import remove_small_regions
+        m = np.zeros((32, 32), bool)
+        m[4:20, 4:20] = True
+        m[10, 10] = False               # 1px hole
+        filled, changed = remove_small_regions(m, 400, mode="holes")
+        assert changed and filled[10, 10]
+        m2 = np.zeros((32, 32), bool)
+        m2[4:20, 4:20] = True
+        m2[28, 28] = True               # 1px island
+        cleaned, changed = remove_small_regions(m2, 10, mode="islands")
+        assert changed and not cleaned[28, 28] and cleaned[5, 5]
+
+    def test_prompt2mask_with_fake_detector(self, editor):
+        from editanything_tpu.perception.grounding import (
+            TextGuidedEditPipeline, prompt2mask)
+        img = _image(seed=7)
+
+        def fake_detector(image, text):
+            return (np.array([[20.0, 20.0, 70.0, 70.0]]),
+                    np.array([0.9]), ["dog head"])
+
+        mask = prompt2mask(fake_detector, editor.sam_predictor, img,
+                           "dog head")
+        assert mask.shape == (96, 96, 3)
+        assert set(np.unique(mask)) <= {0, 255}
+
+        pipe = TextGuidedEditPipeline(editor, fake_detector)
+        _, results, _, _ = pipe(
+            image=img, mask_prompt="dog head", prompt="cat head",
+            condition_image=np.zeros((96, 96, 3), np.uint8),
+            image_resolution=64, ddim_steps=2, alignment_ratio=0.5, seed=0)
+        assert results[0].shape == (64, 64, 3)
