@@ -302,6 +302,95 @@ class GPT2Tokenizer:
         return raw.decode("utf-8", errors="replace")
 
 
+class BertTokenizer:
+    """WordPiece tokenizer (bert-base-uncased semantics) for GroundingDINO's
+    text side; vocab user-supplied (vocab.txt, one token per line)."""
+
+    def __init__(self, vocab: Dict[str, int]):
+        self.vocab = dict(vocab)
+        self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        self.cls_id = self.vocab.get("[CLS]", 101)
+        self.sep_id = self.vocab.get("[SEP]", 102)
+        self.pad_id = self.vocab.get("[PAD]", 0)
+        self.unk_id = self.vocab.get("[UNK]", 100)
+
+    @classmethod
+    def from_file(cls, vocab_txt: str) -> "BertTokenizer":
+        with open(vocab_txt, encoding="utf-8") as f:
+            toks = [l.rstrip("\n") for l in f]
+        return cls({t: i for i, t in enumerate(toks)})
+
+    def _basic(self, text: str) -> List[str]:
+        text = text.lower()
+        out: List[str] = []
+        word = ""
+        for ch in text:
+            if ch.isalnum():
+                word += ch
+            else:
+                if word:
+                    out.append(word)
+                    word = ""
+                if not ch.isspace():
+                    out.append(ch)
+        if word:
+            out.append(word)
+        return out
+
+    def _wordpiece(self, word: str) -> List[str]:
+        if word in self.vocab:
+            return [word]
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return ["[UNK]"]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        for w in self._basic(text):
+            out.extend(self._wordpiece(w))
+        return out
+
+    def encode_padded(self, text: str, max_len: int):
+        """-> (ids (L,), mask (L,) bool, tokens list) with [CLS]/[SEP]."""
+        import numpy as np
+        tokens = ["[CLS]"] + self.tokenize(text)[:max_len - 2] + ["[SEP]"]
+        ids = np.full((max_len,), self.pad_id, np.int32)
+        for i, t in enumerate(tokens):
+            ids[i] = self.vocab.get(t, self.unk_id)
+        mask = np.zeros((max_len,), bool)
+        mask[:len(tokens)] = True
+        return ids, mask, tokens
+
+
+def tiny_bert_tokenizer(words: Sequence[str] = ("a", "dog", "head", "cat",
+                                                "sofa")) -> BertTokenizer:
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, ".": 4}
+    i = 5
+    for w in words:
+        vocab[w] = i
+        i += 1
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        for p in (ch, "##" + ch):
+            if p not in vocab:
+                vocab[p] = i
+                i += 1
+    return BertTokenizer(vocab)
+
+
 def tiny_gpt2_tokenizer(words: Sequence[str] = ("a", "cat", "dog", "photo")
                         ) -> GPT2Tokenizer:
     """Small GPT-2-style tokenizer for tests: byte vocab + per-word merges
