@@ -90,10 +90,37 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
     assert not (cfg.ref is not None and cfg.guess_mode), \
         "reference-only control is incompatible with guess_mode"
 
-    def model_output(params, latents, t, context, inputs):
+    def precompute_hints(params, inputs, dtype):
+        """Hoist the ControlNet hint conv stacks out of the scan: the
+        full-res condition images are loop-invariant, so each is encoded
+        ONCE per edit instead of once per step (the reference re-runs
+        controlnet_cond_embedding all `steps` times)."""
+        if not cfg.controlnets:
+            return None
+        do_cfg = cfg.guidance
+        hoisted = {}
+        conds = inputs["controlnet_conds"]
+        if cfg.guess_mode and do_cfg:
+            hoisted["main"] = [
+                CN._hint_embedding(p, c.astype(dtype))
+                for p, c in zip(params["controlnets"], conds)]
+        else:
+            hoisted["main"] = [
+                CN._hint_embedding(p, (_cat2(c) if do_cfg else c)
+                                   .astype(dtype))
+                for p, c in zip(params["controlnets"], conds)]
+        if cfg.ref is not None:
+            hoisted["ref"] = [
+                CN._hint_embedding(p, c.astype(dtype))
+                for p, c in zip(params["controlnets"],
+                                inputs["ref_controlnet_conds"])]
+        return hoisted
+
+    def model_output(params, latents, t, context, inputs, hoisted=None):
         """ControlNet(s) + UNet + CFG at one timestep."""
         guidance_scale = inputs.get("guidance_scale", 7.5)
         do_cfg = cfg.guidance
+        hoisted = hoisted or {}
 
         if do_cfg:
             lat_in = _cat2(latents)
@@ -138,7 +165,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                     params["controlnets"], list(cfg.controlnets), ref_xt,
                     tb_ref, ref_ctx, inputs["ref_controlnet_conds"],
                     inputs["controlnet_scales"], None,
-                    guess_mode=cfg.guess_mode, ref=w_cn)
+                    guess_mode=cfg.guess_mode, ref=w_cn,
+                    hint_embeddings=hoisted.get("ref"))
             U.apply(params["unet"], cfg.unet, ref_xt, tb_ref, ref_ctx,
                     down_block_residuals=rdown, mid_block_residual=rmid,
                     ref=w_un)
@@ -158,7 +186,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 down_c, mid_c = CN.multi_controlnet_apply(
                     params["controlnets"], list(cfg.controlnets), cn_in, tb_h,
                     context["cond"], conds, scales, smaps, guess_mode=True,
-                    ref=ref_cn)
+                    ref=ref_cn, hint_embeddings=hoisted.get("main"))
                 down_res = tuple(jnp.concatenate([jnp.zeros_like(r), r], axis=0)
                                  for r in down_c)
                 mid_res = jnp.concatenate([jnp.zeros_like(mid_c), mid_c], axis=0)
@@ -169,7 +197,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 down_res, mid_res = CN.multi_controlnet_apply(
                     params["controlnets"], list(cfg.controlnets), lat_in, tb,
                     ctx, conds_in, scales, smaps_in,
-                    guess_mode=cfg.guess_mode, ref=ref_cn)
+                    guess_mode=cfg.guess_mode, ref=ref_cn,
+                    hint_embeddings=hoisted.get("main"))
 
         out = U.apply(params["unet"], cfg.unet, unet_in, tb, ctx,
                       down_block_residuals=down_res,
@@ -242,12 +271,13 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
 
     if cfg.sampler == "unipc":
         def run(params, latents, context, inputs):
+            hoisted = precompute_hints(params, inputs, latents.dtype)
             state = unipc_mod.unipc_init(latents)
 
             def body(state, i):
                 t = ts[i]
                 out = model_output(params, state.sample.astype(latents.dtype),
-                                   t, context, inputs)
+                                   t, context, inputs, hoisted)
                 state, prev = unipc_mod.unipc_step(
                     schedule, state, out, ts, step=i)
                 prev = blend_outside_mask(prev, i, inputs)
@@ -258,11 +288,13 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             return final_paste(state.sample, inputs).astype(latents.dtype)
     elif cfg.sampler == "ddim":
         def run(params, latents, context, inputs):
+            hoisted = precompute_hints(params, inputs, latents.dtype)
+
             def body(x, i):
                 t = ts[i]
                 t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
                 out = model_output(params, x.astype(latents.dtype), t,
-                                   context, inputs)
+                                   context, inputs, hoisted)
                 x, _ = ddim_mod.ddim_step(schedule, x, out, t, t_prev)
                 x = blend_outside_mask(x, i, inputs)
                 return x, ()

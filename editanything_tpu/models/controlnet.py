@@ -104,10 +104,14 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
           encoder_hidden_states, controlnet_cond, *,
           conditioning_scale=1.0,
           conditioning_scale_map: Optional[jnp.ndarray] = None,
-          guess_mode: bool = False, ref=None):
+          guess_mode: bool = False, ref=None, hint_embedding=None):
     """Returns (down_residuals tuple(12), mid_residual).
 
     `controlnet_cond`: (B, H*8, W*8, 3) image-space condition in [0, 1].
+    `hint_embedding`: precomputed `_hint_embedding` output — the hint conv
+    stack is loop-invariant across denoise steps, so callers hoist it out
+    of the scan (engine/denoise.py) instead of re-encoding the full-res
+    condition image every step like the reference does.
     `ref`: refctrl.RefState — the reference hooks the LAST (inpaint)
     ControlNet's blocks too (stable_diffusion_reference.py:999-1032).
     """
@@ -118,7 +122,10 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
     n_down = len(ucfg.block_out_channels)
     attn_w = refctrl.controlnet_attn_weights(cfg) if ref is not None else None
 
-    hint = _hint_embedding(params, controlnet_cond.astype(sample.dtype))
+    if hint_embedding is not None:
+        hint = hint_embedding.astype(sample.dtype)
+    else:
+        hint = _hint_embedding(params, controlnet_cond.astype(sample.dtype))
 
     # encoder path with hint added after conv_in
     h = L.conv2d(params["conv_in"], sample, padding=1)
@@ -164,12 +171,14 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
 
 def multi_controlnet_apply(param_list, cfg_list, sample, timesteps,
                            encoder_hidden_states, cond_list, scale_list,
-                           scale_map_list=None, guess_mode=False, ref=None):
+                           scale_map_list=None, guess_mode=False, ref=None,
+                           hint_embeddings=None):
     """Sum residual stacks from several ControlNets (the reference's
     MultiControlNet path: SAM control + inpaint control,
     editany_lora.py:814-882). `ref` is applied to the LAST net only
     (reference `model.nets[-1]`, stable_diffusion_reference.py:999)."""
     scale_map_list = scale_map_list or [None] * len(param_list)
+    hint_embeddings = hint_embeddings or [None] * len(param_list)
     down_acc, mid_acc = None, None
     n = len(param_list)
     for i, (p, c, cond, s, smap) in enumerate(zip(
@@ -177,7 +186,8 @@ def multi_controlnet_apply(param_list, cfg_list, sample, timesteps,
         down, mid = apply(p, c, sample, timesteps, encoder_hidden_states,
                           cond, conditioning_scale=s,
                           conditioning_scale_map=smap, guess_mode=guess_mode,
-                          ref=ref if i == n - 1 else None)
+                          ref=ref if i == n - 1 else None,
+                          hint_embedding=hint_embeddings[i])
         if down_acc is None:
             down_acc, mid_acc = list(down), mid
         else:

@@ -95,6 +95,21 @@ def random_bundle(key=None, *, tiny: bool = True,
         tokenizer=tokenizer, controlnets=cns, dtype=dtype)
 
 
+def place_on_mesh(bundle: ModelBundle, mesh) -> ModelBundle:
+    """Replicate all weights onto a mesh (inference data parallelism:
+    the sample x CFG batch shards over the `data` axis; weights live once
+    per chip in HBM — the reference's CPU-offload machinery has no TPU
+    equivalent needed, SURVEY.md section 2.8)."""
+    from editanything_tpu.parallel import replicate
+    return dataclasses.replace(
+        bundle,
+        unet=replicate(mesh, bundle.unet),
+        vae=replicate(mesh, bundle.vae),
+        text=replicate(mesh, bundle.text),
+        controlnets={k: (cfg, replicate(mesh, p))
+                     for k, (cfg, p) in bundle.controlnets.items()})
+
+
 def load_bundle(*, unet_path: str, vae_path: str, text_path: str,
                 tokenizer, controlnet_paths: Dict[str, str],
                 unet_cfg: Optional[C.UNetConfig] = None,

@@ -62,12 +62,27 @@ class ProgramCache:
 
 
 class GenerationPipeline:
-    """txt2img with one ControlNet condition (sam2image.py semantics)."""
+    """txt2img with one ControlNet condition (sam2image.py semantics).
 
-    def __init__(self, bundle: ModelBundle, controlnet: str = "sam"):
+    `mesh`: optional jax.sharding.Mesh — the (num_samples x CFG) batch is
+    sharded over its `data` axis (weights must be placed with
+    bundle.place_on_mesh); computation follows the data shardings, XLA
+    inserts no collectives on this embarrassingly-parallel path.
+    """
+
+    def __init__(self, bundle: ModelBundle, controlnet: str = "sam",
+                 mesh=None):
         self.bundle = bundle
         self.controlnet = controlnet
+        self.mesh = mesh
         self.cache = ProgramCache()
+
+    def _shard(self, tree):
+        """Shard leading batch axes over the mesh data axis (no-op off)."""
+        if self.mesh is None:
+            return tree
+        from editanything_tpu.parallel import shard_batch
+        return shard_batch(self.mesh, tree)
 
     def prepare_condition(self, condition_map: np.ndarray,
                           h: int, w: int, batch: int) -> jnp.ndarray:
@@ -134,5 +149,10 @@ class GenerationPipeline:
         params = {"unet": b.unet,
                   "controlnets": b.controlnet_params((self.controlnet,)),
                   "vae": b.vae}
+        latents = self._shard(latents)
+        context = self._shard(context)
+        inputs = jax.tree.map(
+            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
+            and x.shape[0] == num_samples else x, inputs)
         img = program(params, latents, context, inputs)
         return to_uint8(jax.device_get(img))

@@ -1,0 +1,49 @@
+"""Data-parallel inference over the virtual 8-CPU mesh: sharded == local."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from editanything_tpu.parallel import make_mesh
+from editanything_tpu.pipelines import GenerationPipeline, random_bundle
+from editanything_tpu.pipelines.bundle import place_on_mesh
+
+
+def _cond(h=96, w=96):
+    rng = np.random.RandomState(0)
+    c = np.zeros((h, w, 3), np.uint8)
+    c[..., 0] = rng.randint(0, 5, (h, w)).astype(np.uint8)
+    return c
+
+
+class TestShardedInference:
+    def test_mesh_matches_single_device(self):
+        bundle = random_bundle(jax.random.PRNGKey(0), tiny=True,
+                               controlnet_names=("sam",))
+        local = GenerationPipeline(bundle, controlnet="sam")
+        ref = local(prompt="a cat", condition_image=_cond(),
+                    num_samples=8, image_resolution=64, num_steps=2, seed=3)
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        sharded_bundle = place_on_mesh(bundle, mesh)
+        pipe = GenerationPipeline(sharded_bundle, controlnet="sam",
+                                  mesh=mesh)
+        out = pipe(prompt="a cat", condition_image=_cond(),
+                   num_samples=8, image_resolution=64, num_steps=2, seed=3)
+        assert out.shape == (8, 64, 64, 3)
+        # same math, same seed; sharded fusion layouts may flip a handful
+        # of pixels across the uint8 rounding boundary
+        diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+    def test_batch_shards_over_data_axis(self):
+        bundle = random_bundle(jax.random.PRNGKey(1), tiny=True,
+                               controlnet_names=("sam",))
+        mesh = make_mesh(n_data=8, n_model=1)
+        pipe = GenerationPipeline(place_on_mesh(bundle, mesh),
+                                  controlnet="sam", mesh=mesh)
+        lat = pipe._shard(jnp.zeros((8, 8, 8, 4)))
+        shard_shapes = {s.data.shape for s in lat.addressable_shards}
+        assert shard_shapes == {(1, 8, 8, 4)}
