@@ -185,6 +185,141 @@ def sam_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
     return tree
 
 
+def swin_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """torch Swin checkpoint (timm / detectron2 bottom_up naming, e.g.
+    swin_base_patch4_window7_224_22k.pth) -> models/swin.py tree.
+
+    Our tree mirrors torch module names; the only special cases are the
+    relative_position_bias_table ((2W-1)^2, H) kept untransposed, and the
+    fused qkv linear."""
+    sd = {k.replace("backbone.bottom_up.", "").replace("backbone.", ""): v
+          for k, v in sd.items()
+          if "relative_position_index" not in k
+          and "attn_mask" not in k and not k.startswith("head.")}
+    return state_dict_to_tree(
+        sd, norm_weight_name="scale",
+        embedding_modules=("relative_position_bias_table",
+                           "absolute_pos_embed"),
+        dtype=dtype)
+
+
+_BLIP2_MAP = [
+    # (torch regex, our replacement) — HF Blip2ForConditionalGeneration
+    (r"^vision_model\.embeddings\.patch_embedding\.", "vision_model.patch_embed."),
+    (r"^vision_model\.embeddings\.class_embedding$", "vision_model.cls_token"),
+    (r"^vision_model\.embeddings\.position_embedding$", "vision_model.pos_embed"),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.layer_norm1\.", r"vision_model.layers.\1.norm1."),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.layer_norm2\.", r"vision_model.layers.\1.norm2."),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.self_attn\.projection\.", r"vision_model.layers.\1.attn.o."),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.mlp\.fc1\.", r"vision_model.layers.\1.mlp.fc1."),
+    (r"^vision_model\.encoder\.layers\.(\d+)\.mlp\.fc2\.", r"vision_model.layers.\1.mlp.fc2."),
+    (r"^vision_model\.post_layernorm\.", "vision_model.post_layernorm."),
+    (r"^query_tokens$", "qformer.query_tokens"),
+    (r"^qformer\.layernorm\.", "qformer.layernorm."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.attention\.attention\.query\.", r"qformer.layers.\1.attention.q."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.attention\.attention\.key\.", r"qformer.layers.\1.attention.k."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.attention\.attention\.value\.", r"qformer.layers.\1.attention.v."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.attention\.output\.dense\.", r"qformer.layers.\1.attention.o."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.", r"qformer.layers.\1.attention_norm."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.crossattention\.attention\.query\.", r"qformer.layers.\1.crossattention.q."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.crossattention\.attention\.key\.", r"qformer.layers.\1.crossattention.k."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.crossattention\.attention\.value\.", r"qformer.layers.\1.crossattention.v."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.crossattention\.output\.dense\.", r"qformer.layers.\1.crossattention.o."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.crossattention\.output\.LayerNorm\.", r"qformer.layers.\1.crossattention_norm."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.intermediate_query\.dense\.", r"qformer.layers.\1.ffn.fc1."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.output_query\.dense\.", r"qformer.layers.\1.ffn.fc2."),
+    (r"^qformer\.encoder\.layer\.(\d+)\.output_query\.LayerNorm\.", r"qformer.layers.\1.ffn_norm."),
+    (r"^language_projection\.", "language_projection."),
+    (r"^language_model\.model\.decoder\.embed_tokens\.", "language_model.embed_tokens."),
+    (r"^language_model\.model\.decoder\.embed_positions\.", "language_model.embed_positions."),
+    (r"^language_model\.model\.decoder\.final_layer_norm\.", "language_model.final_layer_norm."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.self_attn\.q_proj\.", r"language_model.layers.\1.self_attn.q."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.self_attn\.k_proj\.", r"language_model.layers.\1.self_attn.k."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.self_attn\.v_proj\.", r"language_model.layers.\1.self_attn.v."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.self_attn\.out_proj\.", r"language_model.layers.\1.self_attn.o."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.self_attn_layer_norm\.", r"language_model.layers.\1.self_attn_layer_norm."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.final_layer_norm\.", r"language_model.layers.\1.final_layer_norm."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.fc1\.", r"language_model.layers.\1.fc1."),
+    (r"^language_model\.model\.decoder\.layers\.(\d+)\.fc2\.", r"language_model.layers.\1.fc2."),
+]
+
+
+def blip2_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """HF Blip2ForConditionalGeneration state dict -> models/blip2.py tree.
+
+    The EVA vision tower's fused qkv is split into q/k/v; HF stores q/v
+    biases separately (k bias is zero in EVA)."""
+    remapped: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if "vision_model" in k and ".self_attn.qkv." in k:
+            # split the fused qkv into our q/k/v leaves
+            layer = k.split(".layers.")[1].split(".")[0]
+            leaf = k.rsplit(".", 1)[-1]
+            a = np.asarray(v)
+            d = a.shape[0] // 3
+            for i, name in enumerate("qkv"):
+                remapped[f"vision_model.layers.{layer}.attn.{name}.{leaf}"] \
+                    = a[i * d:(i + 1) * d]
+            continue
+        nk = k
+        for pat, rep in _BLIP2_MAP:
+            nk2 = re.sub(pat, rep, nk)
+            if nk2 != nk:
+                nk = nk2
+                break
+        remapped[nk] = v
+    tree = state_dict_to_tree(
+        remapped, norm_weight_name="scale",
+        embedding_modules=("embed_tokens", "embed_positions", "cls_token",
+                           "pos_embed", "query_tokens"),
+        dtype=dtype)
+    # bare parameters (no trailing .weight) end up as leaf dicts; flatten
+    for name in ("cls_token", "pos_embed"):
+        node = tree.get("vision_model", {})
+        if isinstance(node.get(name), dict) and len(node[name]) == 1:
+            node[name] = next(iter(node[name].values()))
+    return tree
+
+
+def bert_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """HF bert-base-uncased state dict -> groundingdino.init_bert tree."""
+    mapping = [
+        (r"^bert\.", ""),
+        (r"^embeddings\.word_embeddings\.weight$", "embeddings.word"),
+        (r"^embeddings\.position_embeddings\.weight$", "embeddings.position"),
+        (r"^embeddings\.token_type_embeddings\.weight$",
+         "embeddings.token_type"),
+        (r"^embeddings\.LayerNorm\.", "embeddings.norm."),
+        (r"^encoder\.layer\.(\d+)\.attention\.self\.query\.", r"layers.\1.attention.q."),
+        (r"^encoder\.layer\.(\d+)\.attention\.self\.key\.", r"layers.\1.attention.k."),
+        (r"^encoder\.layer\.(\d+)\.attention\.self\.value\.", r"layers.\1.attention.v."),
+        (r"^encoder\.layer\.(\d+)\.attention\.output\.dense\.", r"layers.\1.attention.o."),
+        (r"^encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.", r"layers.\1.attention.norm."),
+        (r"^encoder\.layer\.(\d+)\.intermediate\.dense\.", r"layers.\1.mlp.fc1."),
+        (r"^encoder\.layer\.(\d+)\.output\.dense\.", r"layers.\1.mlp.fc2."),
+        (r"^encoder\.layer\.(\d+)\.output\.LayerNorm\.", r"layers.\1.mlp.norm."),
+    ]
+    remapped = {}
+    for k, v in sd.items():
+        if k.startswith("cls.") or "pooler" in k or "position_ids" in k:
+            continue
+        nk = k
+        for pat, rep in mapping:
+            nk = re.sub(pat, rep, nk)
+        remapped[nk] = v
+    tree = state_dict_to_tree(
+        remapped, norm_weight_name="scale",
+        embedding_modules=("embeddings.word", "embeddings.position",
+                           "embeddings.token_type"),
+        dtype=dtype)
+    # bare embedding tables: unwrap {"weight": x}
+    emb = tree.get("embeddings", {})
+    for name in ("word", "position", "token_type"):
+        if isinstance(emb.get(name), dict) and "weight" in emb[name]:
+            emb[name] = emb[name]["weight"]
+    return tree
+
+
 def tree_to_diffusers(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
     """Inverse conversion (for checkpoint export / tests)."""
     out: Dict[str, np.ndarray] = {}
