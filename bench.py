@@ -1,16 +1,19 @@
-"""Headline benchmark on the real TPU chip.
+"""Headline benchmark on the real TPU chip: the FULL north-star workload.
 
-Measures the 512^2 / 50-step ControlNet edit core (the BASELINE.md north-star
-workload): 50 x (2-ControlNet [SAM + inpaint] + SD1.5 UNet + CFG + UniPC +
-inpaint mask blending) compiled as ONE lax.scan, plus the VAE decode to
-pixels — bf16 weights, batch 1 edit (CFG pair = batch 2 through the models).
+BASELINE.md target: "<5 s end-to-end 512^2 SAM-mask + 50-step ControlNet
+edit on a v5e-8". Measured here on ONE chip:
+
+  1. SAM ViT-H encode at 1024^2 + automatic mask generation (32x32 point
+     grid -> 3072 candidates -> NMS -> ID condition map), the compiled AMG
+     of perception/amg.py
+  2. the 512^2 / 50-step edit core: 50 x (2-ControlNet [SAM + inpaint] +
+     SD1.5 UNet + CFG + UniPC + inpaint mask blending) as ONE lax.scan,
+     plus the VAE decode — bf16, batch 1 edit (CFG pair = batch 2)
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is the <5 s end-to-end target (BASELINE.md) divided by measured
-latency (>1 = faster than target). SAM mask generation is not yet included
-(perception lands in a later slice); the denoise+decode core dominates the
-reference's budget.
+vs_baseline = 5 s target / measured latency (>1 = faster than target),
+on one chip of the 8 the target allows.
 """
 
 from __future__ import annotations
@@ -25,9 +28,11 @@ import jax.numpy as jnp
 def main():
     from editanything_tpu.engine import DenoiseConfig, build_denoiser
     from editanything_tpu.models import config as C
+    from editanything_tpu.models import sam as SAM
     from editanything_tpu.models import unet as U
     from editanything_tpu.models import controlnet as CN
     from editanything_tpu.models import vae as V
+    from editanything_tpu.perception import AMGConfig, build_amg, encode_id_map
     from editanything_tpu.samplers import make_schedule, make_timesteps
 
     dtype = jnp.bfloat16
@@ -45,6 +50,20 @@ def main():
     cn_inp = jax.jit(lambda k: CN.init_controlnet(k, cn_cfg, dtype))(ks[2])
     vae_params = jax.jit(lambda k: V.init_vae(k, vcfg, dtype))(ks[3])
 
+    # --- SAM ViT-H + AMG (detect resolution 1024, editany_demo.py:249-255)
+    sam_cfg = SAM.SAMConfig(embed_dim=1280, depth=32, num_heads=16,
+                            global_attn_indexes=(7, 15, 23, 31))
+    amg_cfg = AMGConfig()
+    sam_params = jax.jit(
+        lambda k: SAM.init_sam(k, sam_cfg, dtype))(ks[6])
+    sam_encode, amg_generate = build_amg(sam_cfg, amg_cfg)
+    sam_encode = jax.jit(sam_encode)
+    amg_generate = jax.jit(amg_generate)
+    from editanything_tpu.perception.amg import _grid_points
+    grid = jnp.asarray(_grid_points(amg_cfg, 1024, 1024))
+    sam_image = jax.random.normal(ks[7], (1, 1024, 1024, 3), dtype)
+
+    # --- edit core
     dcfg = DenoiseConfig(unet=ucfg, controlnets=(cn_cfg, cn_cfg),
                          num_steps=steps, sampler="unipc",
                          inpaint_mode="blend", alignment_ratio=None)
@@ -52,8 +71,8 @@ def main():
 
     def edit(params, latents, context, inputs):
         final = denoise(params, latents, context, inputs)
-        img = V.decode_from_latents(params["vae"], vcfg, final.astype(dtype))
-        return img
+        return V.decode_from_latents(params["vae"], vcfg,
+                                     final.astype(dtype))
 
     edit_jit = jax.jit(edit, donate_argnums=(1,))
 
@@ -63,24 +82,31 @@ def main():
     context = {"cond": jax.random.normal(ks[4], (b, 77, 768), dtype),
                "uncond": jax.random.normal(ks[5], (b, 77, 768), dtype)}
     mask = jnp.zeros((b, 64, 64, 1), dtype).at[:, 16:48, 16:48].set(1.0)
-    inputs = {
-        "controlnet_conds": [
-            jax.random.uniform(ks[6], (b, 512, 512, 3), dtype),
-            jax.random.uniform(ks[7], (b, 512, 512, 3), dtype)],
-        "controlnet_scales": [0.5, 1.0],
-        "guidance_scale": 9.0,
-        "mask": mask,
-        "image_latents": jax.random.normal(ks[4], (b, 64, 64, 4), jnp.float32),
-        "noise": jax.random.normal(ks[5], (b, 64, 64, 4), jnp.float32),
-    }
+    inpaint_cond = jax.random.uniform(ks[7], (b, 512, 512, 3), dtype)
 
     def run_once():
+        # SAM mask generation -> ID condition map
+        emb = sam_encode(sam_params, sam_image)
+        masks = amg_generate(sam_params, emb, grid)
+        cond_map = encode_id_map(masks["logits"], masks["valid"],
+                                 out_hw=(512, 512))
+        sam_cond = (cond_map.astype(dtype) / 255.0)[None]
+        sam_cond = jnp.broadcast_to(sam_cond, (b, 512, 512, 3))
+        inputs = {
+            "controlnet_conds": [sam_cond, inpaint_cond],
+            "controlnet_scales": [0.5, 1.0],
+            "guidance_scale": 9.0,
+            "mask": mask,
+            "image_latents": jax.random.normal(ks[4], (b, 64, 64, 4),
+                                               jnp.float32),
+            "noise": jax.random.normal(ks[5], (b, 64, 64, 4), jnp.float32),
+        }
         lat = jax.random.normal(ks[3], (b, 64, 64, 4), dtype)
         img = edit_jit(params, lat, context, inputs)
-        img.block_until_ready()
-        return img
+        jnp.sum(img).block_until_ready()
+        return float(jnp.sum(img))      # host fetch = hard sync
 
-    run_once()                      # compile
+    run_once()                          # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -88,9 +114,9 @@ def main():
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
 
-    target_s = 5.0                  # BASELINE.md north star (e2e on v5e-8)
+    target_s = 5.0                      # BASELINE.md north star (v5e-8)
     print(json.dumps({
-        "metric": "edit_core_latency_512px_50step_1chip",
+        "metric": "e2e_sam_mask_plus_50step_edit_512px_1chip",
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(target_s / p50, 3),

@@ -38,6 +38,8 @@ from editanything_tpu.models import controlnet as CN
 from editanything_tpu.samplers import schedule as sched
 from editanything_tpu.samplers import ddim as ddim_mod
 from editanything_tpu.samplers import unipc as unipc_mod
+from editanything_tpu.samplers import plms as plms_mod
+from editanything_tpu.samplers import dpm as dpm_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -302,6 +304,56 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             x, _ = jax.lax.scan(body, latents.astype(jnp.float32),
                                 jnp.arange(n))
             return final_paste(x, inputs).astype(latents.dtype)
+    elif cfg.sampler == "dpm":
+        def run(params, latents, context, inputs):
+            hoisted = precompute_hints(params, inputs, latents.dtype)
+            state = dpm_mod.dpm_init(latents)
+
+            def body(state, i):
+                t = ts[i]
+                out = model_output(params, state.sample.astype(latents.dtype),
+                                   t, context, inputs, hoisted)
+                state, prev = dpm_mod.dpm_step(schedule, state, out, ts, i)
+                prev = blend_outside_mask(prev, i, inputs)
+                state = state._replace(sample=prev)
+                return state, ()
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(n))
+            return final_paste(state.sample, inputs).astype(latents.dtype)
+    elif cfg.sampler == "plms":
+        def run(params, latents, context, inputs):
+            hoisted = precompute_hints(params, inputs, latents.dtype)
+            state = plms_mod.plms_init(latents)
+
+            def body(state, i):
+                t = ts[i]
+                t_prev = jnp.where(i + 1 < n,
+                                   ts[jnp.minimum(i + 1, n - 1)], -1)
+                x = state.sample.astype(latents.dtype)
+                out = model_output(params, x, t, context, inputs, hoisted)
+                # midpoint warm-up needs a second eval at (x_1st, t_prev);
+                # lax.cond pays it at runtime only on step 0
+                # (plms.py:220-224)
+                eps = plms_mod._to_eps(schedule, state.sample,
+                                       out.astype(jnp.float32), t)
+                x1 = plms_mod._x_prev(schedule, state.sample, eps, t,
+                                      t_prev)
+
+                def warmup(_):
+                    return model_output(params, x1.astype(latents.dtype),
+                                        jnp.maximum(t_prev, 0), context,
+                                        inputs, hoisted)
+
+                out_next = jax.lax.cond(i == 0, warmup,
+                                        lambda _: out, None)
+                state, prev = plms_mod.plms_step(
+                    schedule, state, out, out_next, t, t_prev, i)
+                prev = blend_outside_mask(prev, i, inputs)
+                state = state._replace(sample=prev)
+                return state, ()
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(n))
+            return final_paste(state.sample, inputs).astype(latents.dtype)
     else:
         raise ValueError(f"unknown sampler {cfg.sampler!r}")
 

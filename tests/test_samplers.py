@@ -235,3 +235,92 @@ def test_add_noise_matches_q_sample_formula():
     want = np.sqrt(abar) * 1.0 + np.sqrt(1 - abar) * 2.0
     np.testing.assert_allclose(np.asarray(add_noise(SCHED, x0, noise, t)),
                                np.full(3, want), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PLMS + DPM-Solver++ (plms.py / dpm.py)
+# ---------------------------------------------------------------------------
+
+from editanything_tpu.samplers import (plms_init, plms_step,
+                                       dpm_init, dpm_step)
+
+
+@jax.jit
+def _run_plms(x, ts):
+    n = len(ts)
+
+    def body(state, i):
+        t = ts[i]
+        t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
+        out = _eps_model(state.sample, t)
+        from editanything_tpu.samplers import plms as P
+        eps = P._to_eps(SCHED, state.sample, out, t)
+        x1 = P._x_prev(SCHED, state.sample, eps, t, t_prev)
+        out_next = jax.lax.cond(
+            i == 0, lambda _: _eps_model(x1, jnp.maximum(t_prev, 0)),
+            lambda _: out, None)
+        state, _ = plms_step(SCHED, state, out, out_next, t, t_prev, i)
+        return state, ()
+
+    return jax.lax.scan(body, plms_init(x), jnp.arange(n))[0].sample
+
+
+@jax.jit
+def _run_dpm(x, ts):
+    n = len(ts)
+
+    def body(state, i):
+        out = _eps_model(state.sample, ts[i])
+        state, _ = dpm_step(SCHED, state, out, ts, i)
+        return state, ()
+
+    return jax.lax.scan(body, dpm_init(x), jnp.arange(n))[0].sample
+
+
+def test_plms_tracks_exact_ode(exact):
+    e = abs(float(_run_plms(X_T, jnp.asarray(make_timesteps(50)))[0])
+            - exact[0])
+    assert e < 0.05, e
+
+
+def test_plms_beats_ddim(exact):
+    ts = jnp.asarray(make_timesteps(50))
+    e_plms = abs(float(_run_plms(X_T, ts)[0]) - exact[0])
+    e_ddim = abs(float(_run_ddim(X_T, ts)[0]) - exact[0])
+    assert e_plms < e_ddim, (e_plms, e_ddim)
+
+
+def test_dpm_tracks_exact_ode(exact):
+    e = abs(float(_run_dpm(X_T, jnp.asarray(make_timesteps(30)))[0])
+            - exact[0])
+    assert e < 0.05, e
+
+
+def test_dpm_beats_ddim(exact):
+    ts = jnp.asarray(make_timesteps(30))
+    e_dpm = abs(float(_run_dpm(X_T, ts)[0]) - exact[0])
+    e_ddim = abs(float(_run_ddim(X_T, ts)[0]) - exact[0])
+    assert e_dpm < e_ddim, (e_dpm, e_ddim)
+
+
+def test_new_samplers_in_engine():
+    """plms/dpm compile inside the full denoise program."""
+    from editanything_tpu.engine import DenoiseConfig, build_denoiser
+    from editanything_tpu.models import config as C
+    from editanything_tpu.models import unet as U
+    ucfg = C.UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 2),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=8)
+    params = {"unet": U.init_unet(jax.random.PRNGKey(0), ucfg),
+              "controlnets": []}
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = {"cond": jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32)),
+           "uncond": jnp.zeros((1, 4, 32))}
+    for sampler in ("plms", "dpm"):
+        cfg = DenoiseConfig(unet=ucfg, num_steps=3, sampler=sampler)
+        run = jax.jit(build_denoiser(cfg, SCHED, make_timesteps(3)))
+        out = run(params, lat, ctx, {"guidance_scale": 5.0})
+        assert np.isfinite(np.asarray(out)).all(), sampler
