@@ -46,6 +46,9 @@ import os  # noqa: E402
 
 _INTERPRET = os.environ.get("EA_PALLAS_INTERPRET", "0") == "1"
 _DISABLED = os.environ.get("EA_DISABLE_PALLAS", "0") == "1"
+# Mosaic pads head_dim to 128 lanes; below this head dim the padding waste
+# can make XLA attention competitive — tunable for benching.
+_MIN_HEAD_DIM = int(os.environ.get("EA_FLASH_MIN_D", "0"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -179,7 +182,7 @@ def dispatch(q, k, v, *, scale: Optional[float] = None, mask=None):
     m = k.shape[-2]
     kv_bytes = 2 * _round_up(m, 128) * _round_up(d, 128) * 4
     if (_DISABLED or mask is not None or not (_on_tpu() or _INTERPRET)
-            or n < 128 or kv_bytes > _MAX_KV_BYTES):
+            or n < 128 or d < _MIN_HEAD_DIM or kv_bytes > _MAX_KV_BYTES):
         return attention_reference(q, k, v, scale=scale, mask=mask)
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])

@@ -63,6 +63,23 @@ def resize_points(clicked_points: Sequence[Tuple[int, int, int]],
             for (x, y, lab) in clicked_points]
 
 
+def save_input_to_file(func):
+    """Decorator pickling each call's args/kwargs to `input_data.pkl` for
+    headless replay (reference annotator/util.py:77-95 +
+    editany_nogradio.py; replay via `editanything-tpu replay`)."""
+    import functools
+    import pickle
+
+    @functools.wraps(func)
+    def wrapper(self, *args, **kwargs):
+        result = func(self, *args, **kwargs)
+        with open("input_data.pkl", "wb") as f:
+            pickle.dump({"args": args, "kwargs": kwargs}, f)
+        return result
+
+    return wrapper
+
+
 def get_bounding_box(mask) -> List[int]:
     """Mask -> [rmin, cmin, rmax, cmax], preserving the reference's
     swapped-axis convention exactly (annotator/util.py:57-73)."""

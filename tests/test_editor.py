@@ -118,3 +118,19 @@ class TestTextGuidedEdit:
             condition_image=np.zeros((96, 96, 3), np.uint8),
             image_resolution=64, ddim_steps=2, alignment_ratio=0.5, seed=0)
         assert results[0].shape == (64, 64, 3)
+
+
+class TestDemos:
+    def test_semantic_overlay_render(self):
+        from editanything_tpu.apps.demos import (CONFIG_DICT,
+                                                 show_semantic_image_label)
+        assert len(CONFIG_DICT) == 4
+        m1 = np.zeros((64, 64), bool)
+        m1[8:30, 8:30] = True
+        m2 = np.zeros((64, 64), bool)
+        m2[40:60, 40:60] = True
+        out = show_semantic_image_label((64, 64),
+                                        [(m1, "a dog"), (m2, "a sofa")])
+        assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+        assert out[10, 10].any()          # region filled
+        assert not out[0, 0].any()        # background black

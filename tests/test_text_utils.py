@@ -108,3 +108,64 @@ class TestPromptWindows:
         assert pids[0, 0] == tok.bos_id
         assert nids[0, 0] == tok.bos_id
         assert nids[-1, -1] == tok.eos_id
+
+
+class TestLegacyConfig:
+    def test_cldm_yaml_roundtrip(self, tmp_path):
+        yaml_text = """
+model:
+  target: cldm.cldm.ControlLDM
+  params:
+    linear_start: 0.00085
+    linear_end: 0.0120
+    timesteps: 1000
+    scale_factor: 0.18215
+    parameterization: v
+    sd_locked: true
+    unet_config:
+      params:
+        in_channels: 4
+        out_channels: 4
+        model_channels: 320
+        num_res_blocks: 2
+        channel_mult: [1, 2, 4, 4]
+        num_head_channels: 64
+        context_dim: 1024
+        use_linear_in_transformer: true
+    first_stage_config:
+      params:
+        ddconfig:
+          z_channels: 4
+          ch: 128
+          ch_mult: [1, 2, 4, 4]
+          num_res_blocks: 2
+    cond_stage_config:
+      target: ldm.modules.encoders.modules.FrozenOpenCLIPEmbedder
+"""
+        p = tmp_path / "cldm_v21.yaml"
+        p.write_text(yaml_text)
+        from editanything_tpu.checkpoints.legacy import configs_from_cldm_yaml
+        out = configs_from_cldm_yaml(str(p))
+        u = out["unet"]
+        assert u.block_out_channels == (320, 640, 1280, 1280)
+        assert u.attention_head_dim == (5, 10, 20, 20)   # 64-wide heads
+        assert u.cross_attention_dim == 1024
+        assert u.use_linear_projection
+        assert out["text"].hidden_size == 1024            # OpenCLIP-H
+        assert out["schedule"].prediction_type == "v_prediction"
+        assert out["vae"].block_out_channels == (128, 256, 512, 512)
+        assert out["sd_locked"]
+
+    def test_save_input_to_file(self, tmp_path, monkeypatch):
+        import pickle
+        monkeypatch.chdir(tmp_path)
+        from editanything_tpu.utils.image import save_input_to_file
+
+        class Thing:
+            @save_input_to_file
+            def process(self, a, b=2):
+                return a + b
+
+        assert Thing().process(1, b=3) == 4
+        data = pickle.load(open("input_data.pkl", "rb"))
+        assert data["args"] == (1,) and data["kwargs"] == {"b": 3}
