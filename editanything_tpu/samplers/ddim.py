@@ -41,3 +41,25 @@ def ddim_step(schedule: sched.NoiseSchedule, sample, model_output, t, t_prev,
             raise ValueError("eta > 0 requires noise")
         prev = prev + sigma * noise.astype(jnp.float32)
     return prev.astype(sample.dtype), pred_x0.astype(sample.dtype)
+
+
+def stochastic_encode(schedule: sched.NoiseSchedule, x0, t, noise):
+    """x0 -> x_t by forward diffusion (ddim_hacked.py:254-266
+    `stochastic_encode`): the img2img entry — noise a clean latent to an
+    intermediate timestep, then `decode` denoises from there."""
+    return sched.add_noise(schedule, x0.astype(jnp.float32),
+                           noise.astype(jnp.float32), t)
+
+
+def ddim_encode_step(schedule: sched.NoiseSchedule, sample, model_output,
+                     t, t_next):
+    """One DETERMINISTIC inversion step x_t -> x_{t_next} with t_next > t
+    (ddim_hacked.py:234-252 `encode`): runs the DDIM ODE backwards so a
+    real image can be inverted into the latent trajectory (used for
+    faithful img2img / editing without a mask)."""
+    a_t, s_t = sched.alpha_sigma(schedule, t)
+    a_next, s_next = sched.alpha_sigma(schedule, t_next)
+    x = sample.astype(jnp.float32)
+    pred_x0 = sched.to_x0(schedule, x, model_output, t)
+    eps = sched.to_epsilon(schedule, x, model_output, t)
+    return a_next * pred_x0 + s_next * eps

@@ -324,3 +324,37 @@ def test_new_samplers_in_engine():
         run = jax.jit(build_denoiser(cfg, SCHED, make_timesteps(3)))
         out = run(params, lat, ctx, {"guidance_scale": 5.0})
         assert np.isfinite(np.asarray(out)).all(), sampler
+
+
+def test_ddim_invert_then_sample_roundtrip():
+    """encode (inversion) + ddim_step back must converge to the start as
+    the grid refines (the ODE is reversible; discretization error is
+    first-order)."""
+    from editanything_tpu.samplers.ddim import ddim_encode_step
+    x0 = jnp.full((4,), MU, jnp.float32) + 0.1
+
+    def roundtrip(n_steps):
+        ts = np.linspace(0, 600, n_steps + 1).round().astype(int).tolist()
+        x = x0
+        for t, t_next in zip(ts[:-1], ts[1:]):
+            x = ddim_encode_step(SCHED, x, _eps_model(x, t), t, t_next)
+        for t, t_prev in zip(reversed(ts[1:]), reversed(ts[:-1])):
+            x, _ = ddim_step(SCHED, x, _eps_model(x, t), t, t_prev)
+        return abs(float(x[0]) - float(x0[0]))
+
+    e_coarse, e_fine = roundtrip(3), roundtrip(12)
+    # first-order: ~2.7x error reduction for 4x steps (measured 0.057->0.021)
+    assert e_fine < e_coarse / 2, (e_coarse, e_fine)
+    assert e_fine < 0.03, e_fine
+
+
+def test_stochastic_encode_statistics():
+    from editanything_tpu.samplers.ddim import stochastic_encode
+    from editanything_tpu.samplers import schedule as S
+    x0 = jnp.ones((2048,), jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (2048,))
+    t = 500
+    xt = stochastic_encode(SCHED, x0, jnp.asarray(t), noise)
+    a, s = S.alpha_sigma(SCHED, jnp.asarray(t))
+    assert abs(float(jnp.mean(xt)) - float(a)) < 0.05
+    assert abs(float(jnp.std(xt)) - float(s)) < 0.05
