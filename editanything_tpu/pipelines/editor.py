@@ -129,6 +129,51 @@ class EditAnythingEditor:
     def clear_clicks(self):
         self.click_points = []
 
+    # -- cross-image drag helpers -----------------------------------------------
+
+    @staticmethod
+    def _crop_masked_region(ref_image: np.ndarray,
+                            ref_mask: Optional[np.ndarray]) -> np.ndarray:
+        """BBox-crop the masked ref region, masked pixels kept
+        (editany_lora.py:708-722)."""
+        img = HWC3(np.asarray(ref_image, np.uint8))
+        if ref_mask is None:
+            return img
+        m = np.asarray(ref_mask, np.float32)
+        if m.ndim == 3:
+            m = m[..., 0]
+        if m.max() > 1.5:
+            m = m / 255.0
+        ys, xs = np.nonzero(m >= 0.5)
+        if len(ys) == 0:
+            return img
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        crop = img[y0:y1, x0:x1].astype(np.float32)
+        crop *= m[y0:y1, x0:x1, None]
+        return crop.astype(np.uint8)
+
+    def _load_or_stage_textinv(self, crop: np.ndarray,
+                               path: Optional[str]) -> bool:
+        """Load a TI embedding into the text encoder if `path` exists;
+        otherwise stage the ref crop as TI training data
+        (editany_lora.py:732-745 load-or-prepare behavior). Returns True
+        if an embedding was loaded."""
+        import os
+        if path and os.path.exists(path):
+            import numpy as _np
+            from editanything_tpu.train.textual_inversion import \
+                load_textual_inversion
+            embeds = _np.load(path)
+            self.bundle.text, _ = load_textual_inversion(
+                self.bundle.text, embeds)
+            return True
+        stage_dir = "./utils/tmp/textinv/img"
+        os.makedirs(stage_dir, exist_ok=True)
+        from PIL import Image as PILImage
+        PILImage.fromarray(crop).save(os.path.join(stage_dir, "ref.png"))
+        return False
+
     # -- the main edit ----------------------------------------------------------
 
     def process(self, *, image: np.ndarray, mask: Optional[np.ndarray],
@@ -151,6 +196,9 @@ class EditAnythingEditor:
                 ref_image: Optional[np.ndarray] = None,
                 ref_mask: Optional[np.ndarray] = None,
                 ref_prompt: Optional[str] = None,
+                ref_auto_prompt: bool = False,
+                ref_textinv: bool = False,
+                ref_textinv_path: Optional[str] = None,
                 reference_attn: bool = True, reference_adain: bool = False,
                 attention_auto_weight: float = 1.0,
                 gn_auto_weight: float = 1.0,
@@ -164,6 +212,18 @@ class EditAnythingEditor:
                 resize_image(image, min(detect_resolution, 512)))
             prompt = (blip2_prompt + ", " + prompt) if prompt \
                 else blip2_prompt
+
+        # cross-image-drag ref prep (editany_lora.py:704-745): crop the
+        # masked ref region; BLIP2-caption it into the ref prompt; load a
+        # textual-inversion embedding or stage the crop for TI training
+        if ref_image is not None and (ref_auto_prompt or ref_textinv):
+            crop = self._crop_masked_region(ref_image, ref_mask)
+            if ref_auto_prompt and self.captioner is not None:
+                gen = self.get_blip2_text(crop)
+                ref_prompt = (ref_prompt or "") + gen
+                a_prompt = a_prompt + gen
+            if ref_textinv:
+                self._load_or_stage_textinv(crop, ref_textinv_path)
 
         if condition_image is None:
             detect_img = resize_image(image, detect_resolution)

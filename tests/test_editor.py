@@ -134,3 +134,32 @@ class TestDemos:
         assert out.shape == (64, 64, 3) and out.dtype == np.uint8
         assert out[10, 10].any()          # region filled
         assert not out[0, 0].any()        # background black
+
+
+class TestCrossImageDragPrep:
+    def test_crop_masked_region(self):
+        from editanything_tpu.pipelines.editor import EditAnythingEditor
+        img = np.full((40, 40, 3), 200, np.uint8)
+        mask = np.zeros((40, 40), np.uint8)
+        mask[10:20, 5:25] = 255
+        crop = EditAnythingEditor._crop_masked_region(img, mask)
+        assert crop.shape == (10, 20, 3)
+        assert (crop == 200).all()        # inside fully kept
+
+    def test_textinv_load_or_stage(self, editor, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        crop = np.full((16, 16, 3), 128, np.uint8)
+        # no embedding file: stages the crop
+        loaded = editor._load_or_stage_textinv(crop, str(tmp_path / "no.npy"))
+        assert not loaded
+        assert (tmp_path / "utils/tmp/textinv/img/ref.png").exists()
+        # with an embedding file: appends rows to the text table
+        d = editor.bundle.text_cfg.hidden_size
+        v_before = editor.bundle.text["embeddings"]["token_embedding"][
+            "weight"].shape[0]
+        emb_path = tmp_path / "emb.npy"
+        np.save(emb_path, np.zeros((2, d), np.float32))
+        assert editor._load_or_stage_textinv(crop, str(emb_path))
+        v_after = editor.bundle.text["embeddings"]["token_embedding"][
+            "weight"].shape[0]
+        assert v_after == v_before + 2
