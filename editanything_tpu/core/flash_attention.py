@@ -57,19 +57,24 @@ def _round_up(x: int, m: int) -> int:
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
                   block_m: int):
-    """One q tile vs the full (padded) kv sequence for one (batch*head)."""
-    q = q_ref[0].astype(jnp.float32) * scale          # (BN, D)
+    """One q tile vs the full (padded) kv sequence for one (batch*head).
+
+    Matmuls run in the STORAGE dtype (bf16 in production) with fp32
+    accumulation — upcasting inputs to fp32 would force multi-pass fp32
+    MXU matmuls, measured ~3x slower end-to-end. Softmax statistics stay
+    fp32."""
+    q = q_ref[0]                                      # (BN, D) storage dtype
     m_pad = k_ref.shape[1]
     num_kv_blocks = m_pad // block_m
     bn, d = q.shape
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(j * block_m, block_m), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_m, block_m), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_m, block_m), :]
+        v = v_ref[0, pl.ds(j * block_m, block_m), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BN, BM)
+            preferred_element_type=jnp.float32) * scale    # (BN, BM) fp32
         # mask out zero-padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, (bn, block_m), 1)
         valid = (col + j * block_m) < kv_len
@@ -81,7 +86,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
         p = jnp.exp(logits - m_new)                              # (BN, BM)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
