@@ -9,3 +9,4 @@ from editanything_tpu.pipelines.sketch import (SketchPipeline,
 from editanything_tpu.pipelines.captioner import (Captioner,
                                                   semantic_labels)
 from editanything_tpu.pipelines.editor import EditAnythingEditor
+from editanything_tpu.pipelines.img2img import Img2ImgPipeline

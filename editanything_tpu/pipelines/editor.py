@@ -105,6 +105,54 @@ class EditAnythingEditor:
         cond = encode_id_map(out["logits"], out["valid"], out_hw=(h, w))
         return np.asarray(jax.device_get(cond))
 
+    # -- region-level semantics (sam2semantic.py) -------------------------------
+
+    def semantic(self, image: np.ndarray, *, top_k: int = 10,
+                 detect_resolution: int = 1024):
+        """Region-level semantic labels + rendered overlay
+        (sam2semantic.py:73-146): SAM auto masks ranked by area, each
+        crop BLIP2-classified, labels drawn on a color overlay."""
+        assert self.sam is not None and self.captioner is not None
+        from editanything_tpu.apps.demos import semantic_overlay
+        from editanything_tpu.pipelines.captioner import semantic_labels
+        sam_cfg, sam_params = self.sam
+        from editanything_tpu.models import sam as SAM
+        from editanything_tpu.perception.amg import _grid_points
+        from PIL import Image as PILImage
+
+        img = resize_image(HWC3(image.astype(np.uint8)), detect_resolution)
+        h, w = img.shape[:2]
+        scale = sam_cfg.img_size / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        resized = np.asarray(PILImage.fromarray(img).resize(
+            (nw, nh), PILImage.BILINEAR))
+        x = SAM.preprocess(jnp.asarray(resized), sam_cfg)
+        emb = self._amg_encode(sam_params, x)
+        pts = _grid_points(self.amg_cfg, nh, nw)
+        out = self._amg_generate(sam_params, emb, jnp.asarray(pts))
+
+        logits = np.asarray(jax.device_get(out["logits"]))
+        valid = np.asarray(jax.device_get(out["valid"]))
+        areas = np.asarray(jax.device_get(out["areas"]))
+        # upscale only the top_k largest masks from the 256^2 slab to image
+        # resolution (all 256 would be hundreds of MB at 1024^2)
+        order = np.argsort(-np.where(valid, areas, -1))[:top_k]
+        up = np.asarray(jax.device_get(jax.image.resize(
+            jnp.asarray(logits[order]), (len(order), h, w),
+            method="bilinear")))
+        masks_hr = up > self.amg_cfg.mask_threshold
+        labels_local = semantic_labels(
+            img, masks_hr, valid[order],
+            masks_hr.reshape(len(order), -1).sum(-1),
+            self.captioner, top_k=top_k)
+        # map local (top_k-subset) indices back to AMG slot ids
+        labels = [(int(order[i]), lab) for i, lab in labels_local]
+        overlay = semantic_overlay(
+            img, up, valid[order],
+            [(i, lab) for i, lab in labels_local],
+            mask_threshold=self.amg_cfg.mask_threshold)
+        return labels, overlay
+
     # -- interactive click segmentation -----------------------------------------
 
     def process_image_click(self, image: np.ndarray, x: int, y: int,

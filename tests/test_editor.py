@@ -163,3 +163,47 @@ class TestCrossImageDragPrep:
         v_after = editor.bundle.text["embeddings"]["token_embedding"][
             "weight"].shape[0]
         assert v_after == v_before + 2
+
+
+class TestSemanticMethod:
+    def test_editor_semantic(self, editor):
+        labels, overlay = editor.semantic(_image(seed=9), top_k=4,
+                                          detect_resolution=64)
+        assert isinstance(labels, list)
+        assert overlay.shape[2] == 3 and overlay.dtype == np.uint8
+        for idx, lab in labels:
+            assert isinstance(idx, int) and isinstance(lab, str)
+
+
+class TestImg2Img:
+    def test_img2img_strength(self):
+        import jax
+        from editanything_tpu.pipelines import Img2ImgPipeline, random_bundle
+        b = random_bundle(jax.random.PRNGKey(0), tiny=True,
+                          controlnet_names=("sam",))
+        pipe = Img2ImgPipeline(b, controlnet="sam")
+        img = _image(seed=11)
+        out = pipe(image=img, prompt="a cat", strength=0.5,
+                   image_resolution=64, num_steps=4, seed=0)
+        assert out.shape == (1, 64, 64, 3)
+        # low strength keeps the input closer than high strength
+        from editanything_tpu.utils import resize_image
+        ref = resize_image(img, 64).astype(np.float32)
+        lo = pipe(image=img, prompt="a cat", strength=0.2,
+                  image_resolution=64, num_steps=4, seed=0)
+        hi = pipe(image=img, prompt="a cat", strength=1.0,
+                  image_resolution=64, num_steps=4, seed=0)
+        d_lo = np.abs(lo[0].astype(np.float32) - ref).mean()
+        d_hi = np.abs(hi[0].astype(np.float32) - ref).mean()
+        assert d_lo < d_hi
+
+    def test_img2img_with_control(self):
+        import jax
+        from editanything_tpu.pipelines import Img2ImgPipeline, random_bundle
+        b = random_bundle(jax.random.PRNGKey(1), tiny=True,
+                          controlnet_names=("sam",))
+        pipe = Img2ImgPipeline(b, controlnet="sam")
+        out = pipe(image=_image(seed=12), prompt="x", strength=0.6,
+                   condition_image=np.zeros((96, 96, 3), np.uint8),
+                   image_resolution=64, num_steps=3, seed=1)
+        assert out.shape == (1, 64, 64, 3)
