@@ -140,6 +140,41 @@ def cmd_replay(args):
     print("\n".join(_save_images(results, args.output)))
 
 
+def cmd_text_edit(args):
+    """Text-grounded edit: detector boxes -> SAM mask -> inpaint
+    (sam2vlpart_edit.py / sam2groundingdino_edit.py)."""
+    editor, spec = _build_editor(args.bundle_spec)
+    from editanything_tpu.perception.grounding import TextGuidedEditPipeline
+    if args.detector == "vlpart":
+        from editanything_tpu.checkpoints.convert import load_torch_state_dict
+        from editanything_tpu.checkpoints.detectors import vlpart_to_tree
+        from editanything_tpu.models import vlpart as VP
+        from editanything_tpu.text.tokenizer import CLIPTokenizer
+        cfg = VP.VLPartConfig()
+        params = vlpart_to_tree(load_torch_state_dict(spec["vlpart"]))
+        tok = CLIPTokenizer(vocab_path=spec["tokenizer_merges"])
+        det = VP.VLPartDetector(params, cfg, tok)
+        kw = dict(score_thresh=0.7)
+    else:
+        from editanything_tpu.checkpoints.convert import load_torch_state_dict
+        from editanything_tpu.checkpoints.detectors import dino_to_tree
+        from editanything_tpu.models import groundingdino as GD
+        from editanything_tpu.text.tokenizer import BertTokenizer
+        cfg = GD.DINOConfig()
+        params = dino_to_tree(load_torch_state_dict(spec["groundingdino"]))
+        tok = BertTokenizer.from_file(spec["bert_vocab"])
+        det = GD.GroundingDINODetector(params, cfg, tok)
+        kw = dict(score_thresh=0.25, max_boxes=2)
+    pipe = TextGuidedEditPipeline(editor, det, **kw)
+    _, results, _, prompt = pipe(
+        image=_load_image(args.image), mask_prompt=args.mask_prompt,
+        prompt=args.prompt, num_samples=args.num_samples,
+        image_resolution=args.resolution, ddim_steps=args.steps,
+        scale=args.scale, control_scale=args.control_scale, seed=args.seed)
+    print("prompt:", prompt)
+    print("\n".join(_save_images(results, args.output)))
+
+
 def cmd_caption_data(args):
     """BLIP2-caption every jpg -> data.txt (dataset_build.py:14-40)."""
     editor, _ = _build_editor(args.bundle_spec)
@@ -202,6 +237,15 @@ def main(argv=None):
     common(r)
     r.add_argument("--pickle", default="input_data.pkl")
     r.set_defaults(fn=cmd_replay)
+
+    t = sub.add_parser("text-edit")
+    common(t)
+    t.add_argument("--image", required=True)
+    t.add_argument("--mask-prompt", required=True,
+                   help="text describing the region, e.g. 'dog head'")
+    t.add_argument("--detector", choices=("vlpart", "groundingdino"),
+                   default="groundingdino")
+    t.set_defaults(fn=cmd_text_edit)
 
     c = sub.add_parser("caption-data")
     common(c)

@@ -146,3 +146,120 @@ class TestSwinConvert:
 
         conv = swin_to_tree(sd)
         assert tree_paths(conv) == tree_paths(ours)
+
+
+class TestVLPartConvert:
+    def test_structure_matches_init(self):
+        from editanything_tpu.checkpoints.detectors import vlpart_to_tree
+        from editanything_tpu.models import vlpart as VP
+        cfg = VP.tiny_vlpart_config()
+        ours = VP.init_vlpart(jax.random.PRNGKey(0), cfg)
+
+        sd = {}
+        z = lambda *s: np.zeros(s, np.float32)
+        # --- swin backbone (detectron2 prefix)
+        sw = cfg.swin
+        p = "backbone.bottom_up."
+        sd[p + "patch_embed.proj.weight"] = z(sw.embed_dim, 3, 4, 4)
+        sd[p + "patch_embed.proj.bias"] = z(sw.embed_dim)
+        sd[p + "patch_embed.norm.weight"] = z(sw.embed_dim)
+        sd[p + "patch_embed.norm.bias"] = z(sw.embed_dim)
+        w = sw.window_size
+        for li, depth in enumerate(sw.depths):
+            dim = sw.stage_dim(li)
+            heads = sw.num_heads[li]
+            for b in range(depth):
+                q = f"{p}layers.{li}.blocks.{b}"
+                sd[f"{q}.norm1.weight"] = z(dim)
+                sd[f"{q}.norm1.bias"] = z(dim)
+                sd[f"{q}.attn.qkv.weight"] = z(3 * dim, dim)
+                sd[f"{q}.attn.qkv.bias"] = z(3 * dim)
+                sd[f"{q}.attn.proj.weight"] = z(dim, dim)
+                sd[f"{q}.attn.proj.bias"] = z(dim)
+                sd[f"{q}.attn.relative_position_bias_table"] = \
+                    z((2 * w - 1) ** 2, heads)
+                sd[f"{q}.attn.relative_position_index"] = \
+                    np.zeros((w * w, w * w), np.int64)
+                sd[f"{q}.norm2.weight"] = z(dim)
+                sd[f"{q}.norm2.bias"] = z(dim)
+                sd[f"{q}.mlp.fc1.weight"] = z(4 * dim, dim)
+                sd[f"{q}.mlp.fc1.bias"] = z(4 * dim)
+                sd[f"{q}.mlp.fc2.weight"] = z(dim, 4 * dim)
+                sd[f"{q}.mlp.fc2.bias"] = z(dim)
+            if li < len(sw.depths) - 1:
+                sd[f"{p}layers.{li}.downsample.norm.weight"] = z(4 * dim)
+                sd[f"{p}layers.{li}.downsample.norm.bias"] = z(4 * dim)
+                sd[f"{p}layers.{li}.downsample.reduction.weight"] = \
+                    z(2 * dim, 4 * dim)
+        for i in sw.out_indices:
+            sd[f"{p}norm{i}.weight"] = z(sw.stage_dim(i))
+            sd[f"{p}norm{i}.bias"] = z(sw.stage_dim(i))
+        # --- FPN
+        c = cfg.fpn_channels
+        for lvl, dim in zip((2, 3, 4, 5),
+                            [sw.stage_dim(i) for i in range(4)]):
+            sd[f"backbone.fpn_lateral{lvl}.weight"] = z(c, dim, 1, 1)
+            sd[f"backbone.fpn_lateral{lvl}.bias"] = z(c)
+            sd[f"backbone.fpn_output{lvl}.weight"] = z(c, c, 3, 3)
+            sd[f"backbone.fpn_output{lvl}.bias"] = z(c)
+        # --- RPN
+        a = cfg.num_anchors
+        sd["proposal_generator.rpn_head.conv.weight"] = z(c, c, 3, 3)
+        sd["proposal_generator.rpn_head.conv.bias"] = z(c)
+        sd["proposal_generator.rpn_head.objectness_logits.weight"] = \
+            z(a, c, 1, 1)
+        sd["proposal_generator.rpn_head.objectness_logits.bias"] = z(a)
+        sd["proposal_generator.rpn_head.anchor_deltas.weight"] = \
+            z(4 * a, c, 1, 1)
+        sd["proposal_generator.rpn_head.anchor_deltas.bias"] = z(4 * a)
+        # --- cascade heads
+        pooled = c * cfg.pooler_resolution ** 2
+        fc = cfg.box_head_fc_dim
+        for k in range(cfg.num_cascade_stages):
+            sd[f"roi_heads.box_head.{k}.fc1.weight"] = z(fc, pooled)
+            sd[f"roi_heads.box_head.{k}.fc1.bias"] = z(fc)
+            sd[f"roi_heads.box_head.{k}.fc2.weight"] = z(fc, fc)
+            sd[f"roi_heads.box_head.{k}.fc2.bias"] = z(fc)
+            sd[f"roi_heads.box_predictor.{k}.bbox_pred.0.weight"] = z(fc, fc)
+            sd[f"roi_heads.box_predictor.{k}.bbox_pred.0.bias"] = z(fc)
+            sd[f"roi_heads.box_predictor.{k}.bbox_pred.2.weight"] = z(4, fc)
+            sd[f"roi_heads.box_predictor.{k}.bbox_pred.2.bias"] = z(4)
+            sd[f"roi_heads.box_predictor.{k}.cls_score.linear.weight"] = \
+                z(cfg.zs_weight_dim, fc)
+            sd[f"roi_heads.box_predictor.{k}.cls_score.linear.bias"] = \
+                z(cfg.zs_weight_dim)
+        # --- CLIP-RN50 text tower (open_clip naming)
+        t = cfg.text
+        sd["text_encoder.token_embedding.weight"] = z(t.vocab_size,
+                                                      t.hidden_size)
+        sd["text_encoder.positional_embedding"] = \
+            z(t.max_position_embeddings, t.hidden_size)
+        sd["text_encoder.ln_final.weight"] = z(t.hidden_size)
+        sd["text_encoder.ln_final.bias"] = z(t.hidden_size)
+        sd["text_encoder.text_projection"] = z(t.hidden_size,
+                                               cfg.zs_weight_dim)
+        for n in range(t.num_layers):
+            q = f"text_encoder.transformer.resblocks.{n}"
+            sd[f"{q}.attn.in_proj_weight"] = z(3 * t.hidden_size,
+                                               t.hidden_size)
+            sd[f"{q}.attn.in_proj_bias"] = z(3 * t.hidden_size)
+            sd[f"{q}.attn.out_proj.weight"] = z(t.hidden_size, t.hidden_size)
+            sd[f"{q}.attn.out_proj.bias"] = z(t.hidden_size)
+            sd[f"{q}.ln_1.weight"] = z(t.hidden_size)
+            sd[f"{q}.ln_1.bias"] = z(t.hidden_size)
+            sd[f"{q}.ln_2.weight"] = z(t.hidden_size)
+            sd[f"{q}.ln_2.bias"] = z(t.hidden_size)
+            sd[f"{q}.mlp.c_fc.weight"] = z(t.intermediate_size,
+                                           t.hidden_size)
+            sd[f"{q}.mlp.c_fc.bias"] = z(t.intermediate_size)
+            sd[f"{q}.mlp.c_proj.weight"] = z(t.hidden_size,
+                                             t.intermediate_size)
+            sd[f"{q}.mlp.c_proj.bias"] = z(t.hidden_size)
+        sd["pixel_mean"] = z(3, 1, 1)
+        sd["pixel_std"] = z(3, 1, 1)
+
+        conv = vlpart_to_tree(sd)
+        missing = tree_paths(ours) - tree_paths(conv)
+        extra = tree_paths(conv) - tree_paths(ours)
+        assert not missing, f"missing: {sorted(missing)[:10]}"
+        assert not extra, f"extra: {sorted(extra)[:10]}"
