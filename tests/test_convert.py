@@ -263,3 +263,92 @@ class TestVLPartConvert:
         extra = tree_paths(conv) - tree_paths(ours)
         assert not missing, f"missing: {sorted(missing)[:10]}"
         assert not extra, f"extra: {sorted(extra)[:10]}"
+
+
+class TestCLIPTextParity:
+    def test_forward_parity_vs_hf(self):
+        torch = pytest.importorskip("torch")
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModel
+        from editanything_tpu.checkpoints.convert import clip_text_to_tree
+        from editanything_tpu.models import clip_text as CT
+        from editanything_tpu.models.config import CLIPTextConfig
+
+        hf_cfg = HFCfg(vocab_size=200, hidden_size=16,
+                       intermediate_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, max_position_embeddings=16,
+                       hidden_act="quick_gelu")
+        torch.manual_seed(0)
+        hf = CLIPTextModel(hf_cfg).eval()
+        params = clip_text_to_tree({k: v.detach().numpy()
+                                    for k, v in hf.state_dict().items()})
+        cfg = CLIPTextConfig(vocab_size=200, hidden_size=16,
+                             intermediate_size=32, num_layers=2,
+                             num_heads=2, max_position_embeddings=16,
+                             hidden_act="quick_gelu")
+        ids = np.array([[3, 7, 11, 2, 2, 2, 2, 2]], np.int64)
+        with torch.no_grad():
+            ref = hf(input_ids=torch.tensor(ids)
+                     ).last_hidden_state.numpy()
+        ours = np.asarray(CT.apply(params, cfg, jnp.asarray(ids)))
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=1e-4)
+
+
+class TestBlip2CaptionParity:
+    def test_greedy_caption_matches_hf_generate(self):
+        torch = pytest.importorskip("torch")
+        from transformers import (Blip2Config, Blip2ForConditionalGeneration,
+                                  Blip2QFormerConfig, Blip2VisionConfig,
+                                  OPTConfig)
+        from editanything_tpu.checkpoints.convert import blip2_to_tree
+        from editanything_tpu.models import blip2 as B2
+
+        vc = Blip2VisionConfig(hidden_size=16, intermediate_size=32,
+                               num_hidden_layers=2, num_attention_heads=2,
+                               image_size=28, patch_size=14,
+                               hidden_act="gelu")
+        qc = Blip2QFormerConfig(hidden_size=16, num_hidden_layers=2,
+                                num_attention_heads=2, intermediate_size=32,
+                                encoder_hidden_size=16,
+                                cross_attention_frequency=2)
+        tc = OPTConfig(hidden_size=16, num_hidden_layers=2, ffn_dim=32,
+                       num_attention_heads=2, vocab_size=128,
+                       max_position_embeddings=64, word_embed_proj_dim=16,
+                       activation_function="relu",
+                       do_layer_norm_before=True)
+        cfg_hf = Blip2Config.from_vision_qformer_text_configs(
+            vc, qc, tc, num_query_tokens=4)
+        cfg_hf.image_token_index = 99
+        torch.manual_seed(1)
+        hf = Blip2ForConditionalGeneration(cfg_hf).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()
+              if not k.startswith("language_model.lm_head")}
+        params = blip2_to_tree(sd)
+        cfg = B2.tiny_blip2_config()
+
+        rng = np.random.RandomState(0)
+        px = rng.randn(1, 28, 28, 3).astype(np.float32) * 0.5
+        prompt_ids = np.array([[2]], np.int64)      # BOS only
+        # modern HF BLIP2: image placeholder tokens mark where the query
+        # embeds go (before the text prompt)
+        hf_ids = np.array([[99, 99, 99, 99, 2]], np.int64)
+
+        with torch.no_grad():
+            out_hf = hf.generate(
+                pixel_values=torch.tensor(px.transpose(0, 3, 1, 2)),
+                input_ids=torch.tensor(hf_ids),
+                max_new_tokens=6, do_sample=False, num_beams=1)
+        ref_tokens = out_hf[0].numpy().tolist()
+
+        fn = jax.jit(B2.make_caption_fn(cfg, prompt_len=1,
+                                        max_new_tokens=6))
+        toks = np.asarray(fn(params, jnp.asarray(px),
+                             jnp.asarray(prompt_ids, jnp.int32)))[0]
+        # HF prepends the prompt ids to its output; strip them
+        ref_new = [t for t in ref_tokens if True][-6:]
+        got = toks.tolist()
+        # compare until the first eos in either
+        for a, b in zip(got, ref_new):
+            assert a == b, (got, ref_new)
+            if a == cfg.eos_token_id:
+                break
