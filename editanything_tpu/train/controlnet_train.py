@@ -35,18 +35,23 @@ class TrainState(NamedTuple):
     cn_params: dict          # trainable ControlNet branch
     opt_state: optax.OptState
     step: jnp.ndarray
+    ema_params: Optional[dict] = None    # LitEma parity (ldm ema.py:5)
 
 
 def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.0):
-    """AdamW, lr 1e-5 (sam_train_sd21.py:13)."""
+    """AdamW, lr 1e-5 (sam_train_sd21.py:13). (The reference README
+    mentions Adan as 'considered' but ships AdamW — cldm/cldm.py:422.)"""
     if weight_decay:
         return optax.adamw(lr, weight_decay=weight_decay)
     return optax.adam(lr)
 
 
-def init_train_state(cn_params, optimizer) -> TrainState:
+def init_train_state(cn_params, optimizer, *,
+                     use_ema: bool = False) -> TrainState:
     return TrainState(cn_params, optimizer.init(cn_params),
-                      jnp.asarray(0, jnp.int32))
+                      jnp.asarray(0, jnp.int32),
+                      jax.tree.map(jnp.copy, cn_params) if use_ema
+                      else None)
 
 
 def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
@@ -94,7 +99,15 @@ def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.cn_params)
         cn_params = optax.apply_updates(state.cn_params, updates)
-        new_state = TrainState(cn_params, opt_state, state.step + 1)
+        ema = state.ema_params
+        if ema is not None:
+            # LitEma semantics (ldm/modules/ema.py:5): decay ramps as
+            # (1+step)/(10+step) capped at 0.9999
+            decay = jnp.minimum(0.9999,
+                                (1.0 + state.step) / (10.0 + state.step))
+            ema = jax.tree.map(
+                lambda e, p: e * decay + (1.0 - decay) * p, ema, cn_params)
+        new_state = TrainState(cn_params, opt_state, state.step + 1, ema)
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics

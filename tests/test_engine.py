@@ -182,3 +182,40 @@ def test_deterministic_given_latents(unet_params):
     o1 = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 7.5})
     o2 = run({"unet": unet_params}, lat, _ctx(), {"guidance_scale": 7.5})
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_train_step_with_ema():
+    """EMA params track training params with the LitEma ramping decay."""
+    import optax
+    from editanything_tpu.models import config as C
+    from editanything_tpu.models import controlnet as CN
+    from editanything_tpu.models import unet as UU
+    from editanything_tpu.samplers import make_schedule
+    from editanything_tpu.train import init_train_state, make_train_step
+    from editanything_tpu.train.controlnet_train import make_optimizer
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ucfg = C.UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 2),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=8)
+    cn_cfg = C.ControlNetConfig(unet=ucfg)
+    key = jax.random.PRNGKey(0)
+    unet_p = UU.init_unet(key, ucfg)
+    cn_p = CN.init_controlnet(key, cn_cfg)
+    opt = make_optimizer(1e-2)
+    step = jax.jit(make_train_step(cn_cfg, make_schedule(), opt))
+    state = init_train_state(cn_p, opt, use_ema=True)
+    batch = {"latents": jax.random.normal(key, (1, 8, 8, 4)),
+             "hint": jax.random.uniform(key, (1, 64, 64, 3)),
+             "context": jax.random.normal(key, (1, 4, 32))}
+    s1, _ = step(state, unet_p, batch, jax.random.PRNGKey(1))
+    # after step 0: decay = 1/10 -> ema = 0.1*old + 0.9*new
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+    old, new, ema = leaf(cn_p), leaf(s1.cn_params), leaf(s1.ema_params)
+    np.testing.assert_allclose(ema, 0.1 * old + 0.9 * new,
+                               rtol=1e-4, atol=1e-6)
