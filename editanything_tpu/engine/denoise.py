@@ -60,6 +60,12 @@ class DenoiseConfig:
     # reference-only control (cross-image drag); extra inputs required:
     # ref_image_latents, ref_mask, ref_context, ref_controlnet_conds
     ref: Optional[refctrl.RefConfig] = None
+    # Faster-Diffusion-style encoder caching (arXiv:2312.09608): run the
+    # ControlNets + UNet encoder only every k-th step, reuse the cached
+    # residuals in between (the encoder changes slowly across adjacent
+    # timesteps; the decoder always runs). 1 = exact/off. Approximate —
+    # opt-in for latency-critical serving.
+    encoder_interval: int = 1
 
 
 def _cat2(x):
@@ -91,6 +97,9 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
     # assume the CFG pair; the combination is broken in the reference too
     assert not (cfg.ref is not None and cfg.guess_mode), \
         "reference-only control is incompatible with guess_mode"
+    assert cfg.encoder_interval == 1 or (cfg.ref is None
+                                         and not cfg.guess_mode), \
+        "encoder caching is incompatible with ref mode / guess mode"
 
     def precompute_hints(params, inputs, dtype):
         """Hoist the ControlNet hint conv stacks out of the scan: the
@@ -211,6 +220,81 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             out = uncond + guidance_scale * (cond - uncond)
         return out
 
+    # -- Faster-Diffusion encoder caching (arXiv:2312.09608) ---------------
+
+    def _model_inputs(latents, t, context, inputs):
+        """Shared CFG batching + 9-ch concat for the cached path."""
+        do_cfg = cfg.guidance
+        lat_in = _cat2(latents) if do_cfg else latents
+        ctx = jnp.concatenate([context["uncond"], context["cond"]], axis=0) \
+            if do_cfg else context["cond"]
+        unet_in = lat_in
+        if cfg.inpaint_mode == "unet9":
+            extra = jnp.concatenate(
+                [inputs["mask"], inputs["masked_image_latents"]], axis=-1)
+            if do_cfg:
+                extra = _cat2(extra)
+            unet_in = jnp.concatenate([lat_in, extra.astype(lat_in.dtype)],
+                                      axis=-1)
+        tb = jnp.full((unet_in.shape[0],), t, jnp.int32)
+        return lat_in, unet_in, ctx, tb
+
+    def _encoder_pass(params, unet_in, lat_in, tb, ctx, inputs, hoisted):
+        """ControlNets + UNet encoder/middle with residual injection; the
+        cacheable half of a denoise step."""
+        ucfg = cfg.unet
+        temb = U.time_embed(params["unet"], ucfg, tb, unet_in.dtype)
+        h, residuals = U.encode(params["unet"], ucfg, unet_in, temb, ctx)
+        h = U.middle(params["unet"], ucfg, h, temb, ctx)
+        if cfg.controlnets:
+            do_cfg = cfg.guidance
+            conds = inputs["controlnet_conds"]
+            scales = inputs["controlnet_scales"]
+            smaps = inputs.get("controlnet_scale_maps") or [None] * len(conds)
+            conds_in = [(_cat2(c) if do_cfg else c) for c in conds]
+            smaps_in = [(_cat2(m) if (do_cfg and m is not None) else m)
+                        for m in smaps]
+            down, mid = CN.multi_controlnet_apply(
+                params["controlnets"], list(cfg.controlnets), lat_in, tb,
+                ctx, conds_in, scales, smaps_in,
+                hint_embeddings=(hoisted or {}).get("main"))
+            residuals = [r + c.astype(r.dtype)
+                         for r, c in zip(residuals, down)]
+            h = h + mid.astype(h.dtype)
+        return tuple(residuals) + (h,)
+
+    def model_output_cached(params, latents, t, context, inputs, hoisted,
+                            cache, is_key):
+        """Step with encoder caching: the encoder half runs only when
+        is_key (lax.cond — paid at runtime only on key steps); the decoder
+        always runs with the CURRENT timestep embedding."""
+        guidance_scale = inputs.get("guidance_scale", 7.5)
+        do_cfg = cfg.guidance
+        lat_in, unet_in, ctx, tb = _model_inputs(latents, t, context, inputs)
+
+        cache = jax.lax.cond(
+            is_key,
+            lambda _: _encoder_pass(params, unet_in, lat_in, tb, ctx,
+                                    inputs, hoisted),
+            lambda _: cache, None)
+        residuals, h = list(cache[:-1]), cache[-1]
+        temb = U.time_embed(params["unet"], cfg.unet, tb, unet_in.dtype)
+        out = U.decode(params["unet"], cfg.unet, h, residuals, temb, ctx)
+        if do_cfg:
+            uncond, cond = jnp.split(out, 2, axis=0)
+            out = uncond + guidance_scale * (cond - uncond)
+        return out, cache
+
+    def init_encoder_cache(params, latents, context, inputs, hoisted):
+        """Zeros pytree with the encoder-pass structure (step 0 is always
+        a key step, so contents never leak into outputs)."""
+        lat_in, unet_in, ctx, tb = _model_inputs(
+            latents, jnp.asarray(0, jnp.int32), context, inputs)
+        shapes = jax.eval_shape(
+            lambda: _encoder_pass(params, unet_in, lat_in, tb, ctx,
+                                  inputs, hoisted))
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
     def blend_outside_mask(latents, i, inputs):
         """Per-step latent blending with the re-noised original.
 
@@ -271,10 +355,32 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
         img = inputs["image_latents"].astype(jnp.float32)
         return mask * latents + (1.0 - mask) * img
 
+    k_enc = cfg.encoder_interval
+
     if cfg.sampler == "unipc":
         def run(params, latents, context, inputs):
             hoisted = precompute_hints(params, inputs, latents.dtype)
             state = unipc_mod.unipc_init(latents)
+
+            if k_enc > 1:
+                cache0 = init_encoder_cache(params, latents, context,
+                                            inputs, hoisted)
+
+                def body(carry, i):
+                    state, cache = carry
+                    t = ts[i]
+                    out, cache = model_output_cached(
+                        params, state.sample.astype(latents.dtype), t,
+                        context, inputs, hoisted, cache, i % k_enc == 0)
+                    state, prev = unipc_mod.unipc_step(
+                        schedule, state, out, ts, step=i)
+                    prev = blend_outside_mask(prev, i, inputs)
+                    return (state._replace(sample=prev), cache), ()
+
+                (state, _), _ = jax.lax.scan(body, (state, cache0),
+                                             jnp.arange(n))
+                return final_paste(state.sample,
+                                   inputs).astype(latents.dtype)
 
             def body(state, i):
                 t = ts[i]
@@ -291,6 +397,27 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
     elif cfg.sampler == "ddim":
         def run(params, latents, context, inputs):
             hoisted = precompute_hints(params, inputs, latents.dtype)
+
+            if k_enc > 1:
+                cache0 = init_encoder_cache(params, latents, context,
+                                            inputs, hoisted)
+
+                def body(carry, i):
+                    x, cache = carry
+                    t = ts[i]
+                    t_prev = jnp.where(i + 1 < n,
+                                       ts[jnp.minimum(i + 1, n - 1)], -1)
+                    out, cache = model_output_cached(
+                        params, x.astype(latents.dtype), t, context,
+                        inputs, hoisted, cache, i % k_enc == 0)
+                    x, _ = ddim_mod.ddim_step(schedule, x, out, t, t_prev)
+                    x = blend_outside_mask(x, i, inputs)
+                    return (x, cache), ()
+
+                (x, _), _ = jax.lax.scan(
+                    body, (latents.astype(jnp.float32), cache0),
+                    jnp.arange(n))
+                return final_paste(x, inputs).astype(latents.dtype)
 
             def body(x, i):
                 t = ts[i]

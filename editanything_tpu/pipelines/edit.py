@@ -109,7 +109,7 @@ class EditPipeline(GenerationPipeline):
                  alignment_ratio: Optional[float] = None,
                  alpha_weight: float = 0.5,
                  guess_mode: bool = False, sampler: str = "unipc",
-                 seed: int = 0,
+                 seed: int = 0, encoder_interval: int = 1,
                  return_latents: bool = False,
                  # cross-image drag (reference-only control):
                  ref_image: Optional[np.ndarray] = None,
@@ -145,7 +145,8 @@ class EditPipeline(GenerationPipeline):
             num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
             inpaint_mode=self.inpaint_mode,
             alignment_ratio=alignment_ratio, alpha_weight=alpha_weight,
-            ref=ref_cfg)
+            ref=ref_cfg,
+            encoder_interval=encoder_interval if ref_cfg is None else 1)
         program = self.cache.get(b, dcfg, num_steps,
                                  with_scale_maps=scale_map is not None,
                                  decode=not return_latents)

@@ -110,8 +110,11 @@ class GenerationPipeline:
                  control_scale: float = 1.0,
                  scale_map: Optional[np.ndarray] = None,
                  guess_mode: bool = False, sampler: str = "unipc",
-                 seed: int = 0) -> np.ndarray:
-        """Returns (num_samples, H, W, 3) uint8 images."""
+                 seed: int = 0, encoder_interval: int = 1) -> np.ndarray:
+        """Returns (num_samples, H, W, 3) uint8 images.
+
+        encoder_interval > 1 enables Faster-Diffusion-style encoder
+        caching (approximate; see engine/denoise.py)."""
         b = self.bundle
         # resolution handling mirrors sam2image.py:146-156: the output size
         # comes from resizing the condition to `image_resolution`
@@ -123,7 +126,8 @@ class GenerationPipeline:
         dcfg = DenoiseConfig(
             unet=b.unet_cfg,
             controlnets=b.controlnet_cfgs((self.controlnet,)),
-            num_steps=num_steps, sampler=sampler, guess_mode=guess_mode)
+            num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
+            encoder_interval=encoder_interval)
         program = self.cache.get(b, dcfg, num_steps,
                                  with_scale_maps=scale_map is not None)
 

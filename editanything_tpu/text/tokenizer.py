@@ -22,7 +22,6 @@ from __future__ import annotations
 import gzip
 import html
 import json
-import os
 import re
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple

@@ -11,9 +11,8 @@ async, plus save-every-N plumbing for the train loop.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

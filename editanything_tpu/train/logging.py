@@ -14,7 +14,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ embedding table rows).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

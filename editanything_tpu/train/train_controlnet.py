@@ -14,8 +14,6 @@ orbax checkpoints + JSONL metrics + sample grids replace Lightning.
 from __future__ import annotations
 
 import argparse
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,7 +48,6 @@ def train(*, data_path: str, txt_path: str, out_dir: str,
     weights + the trainable ControlNet init (random graft by default,
     checkpoints/surgery.graft_controlnet_from_unet for warm starts)."""
     from editanything_tpu.data import SAMDataset, make_batcher
-    from editanything_tpu.models import controlnet as CN
     from editanything_tpu.pipelines import random_bundle
 
     bundle = bundle or random_bundle(jax.random.PRNGKey(seed), tiny=False,

@@ -219,3 +219,52 @@ def test_train_step_with_ema():
     old, new, ema = leaf(cn_p), leaf(s1.cn_params), leaf(s1.ema_params)
     np.testing.assert_allclose(ema, 0.1 * old + 0.9 * new,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_encoder_cache_key_steps_exact():
+    """encoder_interval=1 vs >1: key steps identical, non-key approximate.
+
+    With interval >= num_steps, ONLY step 0 is a key step; with interval=1
+    everything is exact. A 1-step run must therefore be identical; a
+    multi-step cached run must differ from exact but stay finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from editanything_tpu.engine import DenoiseConfig, build_denoiser
+    from editanything_tpu.models import config as C
+    from editanything_tpu.models import unet as UU
+    from editanything_tpu.models import controlnet as CNN
+    from editanything_tpu.samplers import make_schedule, make_timesteps
+
+    ucfg = C.UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 2),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=8)
+    cn_cfg = C.ControlNetConfig(unet=ucfg)
+    key = jax.random.PRNGKey(0)
+    params = {"unet": UU.init_unet(key, ucfg),
+              "controlnets": [CNN.init_controlnet(key, cn_cfg)]}
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = {"cond": jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32)),
+           "uncond": jnp.zeros((1, 4, 32))}
+    inputs = {"guidance_scale": 5.0,
+              "controlnet_conds": [jnp.zeros((1, 64, 64, 3))],
+              "controlnet_scales": [1.0]}
+    schedule = make_schedule()
+
+    def run(steps, interval):
+        cfg = DenoiseConfig(unet=ucfg, controlnets=(cn_cfg,),
+                            num_steps=steps, sampler="ddim",
+                            encoder_interval=interval)
+        fn = jax.jit(build_denoiser(cfg, schedule, make_timesteps(steps)))
+        return np.asarray(fn(params, lat, ctx, inputs))
+
+    # 1 step: cached == exact (step 0 is always a key step)
+    np.testing.assert_allclose(run(1, 4), run(1, 1), rtol=1e-5, atol=1e-5)
+    # 4 steps: approximate but finite and different
+    exact = run(4, 1)
+    cached = run(4, 2)
+    assert np.isfinite(cached).all()
+    assert not np.allclose(cached, exact)
