@@ -19,10 +19,18 @@ on one chip of the 8 the target allows.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the remote-compile path costs minutes per
+# program; cached reruns skip it entirely.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("EA_COMPILE_CACHE",
+                                 "/tmp/ea_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def main():

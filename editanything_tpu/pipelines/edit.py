@@ -81,7 +81,7 @@ class EditPipeline(GenerationPipeline):
         m = (m >= 0.5).astype(np.float32)
         return img, m, h, w
 
-    def _latent_inputs(self, img_uint8, mask_hw, h, w, num_samples, key):
+    def _latent_inputs(self, img_uint8, mask_hw, h, w, num_samples):
         """VAE-encode the masked image; build latent-res mask tensors."""
         b = self.bundle
         img01 = img_uint8.astype(np.float32) / 255.0
@@ -164,9 +164,9 @@ class EditPipeline(GenerationPipeline):
             scales.append(1.0)
 
         key = jax.random.PRNGKey(seed)
-        k_lat, k_noise, k_mix = jax.random.split(key, 3)
+        k_noise, k_mix = jax.random.split(key)
         image_latents, mask_latents = self._latent_inputs(
-            img, m, h, w, num_samples, k_lat)
+            img, m, h, w, num_samples)
 
         # initial latents; the reference re-noises with this SAME tensor in
         # blend mode ("noise = latents" before the loop, :1446)

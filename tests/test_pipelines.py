@@ -105,7 +105,7 @@ class TestEdit:
                    num_steps=2, alignment_ratio=None, seed=0,
                    return_latents=True)
         image_latents, mask_latents = pipe._latent_inputs(
-            img, m, h, w, 1, jax.random.PRNGKey(0))
+            img, m, h, w, 1)
         outside = np.asarray(1.0 - mask_latents)
         np.testing.assert_allclose(
             np.asarray(lat) * outside,
