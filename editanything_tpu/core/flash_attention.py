@@ -143,6 +143,119 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
     return out[:, :, :n, :d]
 
 
+def _rel_pos_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+                    scale: float, img_w: int, rows_per_block: int):
+    """Flash attention over an (h, w) key grid with SAM's DECOMPOSED
+    relative-position bias folded in (no N^2 bias materialization).
+
+    Keys are streamed row-group-wise: one kv block covers `rows_per_block`
+    full image rows (block_m = r*img_w), so the bias for the block is
+    bias_h[q, row] (a per-row scalar column) + bias_w[q, :] (shared across
+    rows) — both tiny (N, h)/(N, w) tensors instead of the (N, N) matrix
+    the reference materializes (torch SAM add_decomposed_rel_pos)."""
+    q = q_ref[0]                                       # (BN, D)
+    bh = bh_ref[0].astype(jnp.float32)                 # (BN, h_pad)
+    bw = bw_ref[0].astype(jnp.float32)                 # (BN, w_pad)
+    m_pad = k_ref.shape[1]
+    block_m = rows_per_block * img_w
+    num_kv_blocks = m_pad // block_m
+    bn, d = q.shape
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(j * block_m, block_m), :]
+        v = v_ref[0, pl.ds(j * block_m, block_m), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (BN, block_m)
+        # decomposed bias for rows [j*r, (j+1)*r): the per-row scalar is
+        # extracted with a masked lane reduction (Mosaic can't dynamically
+        # slice the lane dim at unaligned offsets)
+        col = jax.lax.broadcasted_iota(jnp.int32, bh.shape, 1)
+        parts = []
+        for t in range(rows_per_block):
+            idx = j * rows_per_block + t
+            row_bias = jnp.sum(jnp.where(col == idx, bh, 0.0), axis=1,
+                               keepdims=True)              # (BN, 1)
+            parts.append(row_bias + bw[:, :img_w])
+        logits = logits + jnp.concatenate(parts, axis=1)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bn, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bn, 1), jnp.float32)
+    acc0 = jnp.zeros((bn, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_rel_pos(q, k, v, bias_h, bias_w, *, img_hw,
+                            scale: Optional[float] = None,
+                            block_n: int = BLOCK_N):
+    """Flash attention for SAM's global layers: q/k/v (B, H, N, D) over an
+    N = h*w key grid, with decomposed rel-pos biases bias_h (B, H, N, h)
+    and bias_w (B, H, N, w). Requires h*w == N exactly (global attention,
+    square image grid)."""
+    hh, ww = img_hw
+    b, nh, n, d = q.shape
+    assert n == hh * ww and k.shape[2] == n
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    # kv rows per block: at least 128 lanes' worth of keys
+    r = max(1, -(-128 // ww))
+    while hh % r != 0:
+        r -= 1
+    block_n = min(block_n, _round_up(n, 128))
+    n_pad = _round_up(n, block_n)
+    d_pad = _round_up(d, 128)
+    h_pad = _round_up(hh, 128)
+    w_pad = _round_up(ww, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d))) \
+        .reshape(b * nh, n_pad, d_pad)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, d_pad - d))) \
+        .reshape(b * nh, n, d_pad)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_pad - d))) \
+        .reshape(b * nh, n, d_pad)
+    bhp = jnp.pad(bias_h, ((0, 0), (0, 0), (0, n_pad - n),
+                           (0, h_pad - hh))).reshape(b * nh, n_pad, h_pad)
+    bwp = jnp.pad(bias_w, ((0, 0), (0, 0), (0, n_pad - n),
+                           (0, w_pad - ww))).reshape(b * nh, n_pad, w_pad)
+
+    grid = (b * nh, n_pad // block_n)
+    kernel = functools.partial(_rel_pos_kernel, scale=scale, img_w=ww,
+                               rows_per_block=r)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_n, h_pad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_n, w_pad), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * nh, n_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nh * n * n * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * nh * n * n,
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, bhp, bwp)
+    out = out.reshape(b, nh, n_pad, d_pad)
+    return out[:, :, :n, :d]
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

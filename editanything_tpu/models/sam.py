@@ -170,6 +170,42 @@ def _attention_with_rel_pos(p, x, num_heads, rel_hw):
     return L.linear(p["proj"], out)
 
 
+def _attention_with_rel_pos_flash(p, x, num_heads):
+    """Global-layer variant through the rel-pos flash kernel: the (N, N)
+    logits matrix (1 GB fp32 at 64^2 tokens x 16 heads) never
+    materializes — only the decomposed (N, h)/(N, w) biases do."""
+    from editanything_tpu.core import flash_attention as FA
+    b, h, w, c = x.shape
+    hd = c // num_heads
+    qkv = L.linear(p["qkv"], x.reshape(b, h * w, c))
+    qkv = qkv.reshape(b, h * w, 3, num_heads, hd)
+    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+
+    rh = _rel_pos_bias(p["rel_pos_h"], h, h)            # (h, h, hd)
+    rw = _rel_pos_bias(p["rel_pos_w"], w, w)            # (w, w, hd)
+    qf = q.reshape(b, num_heads, h, w, hd).astype(jnp.float32)
+    bias_h = jnp.einsum("bxhwd,hkd->bxhwk", qf,
+                        rh.astype(jnp.float32)).reshape(
+        b, num_heads, h * w, h)
+    bias_w = jnp.einsum("bxhwd,wkd->bxhwk", qf,
+                        rw.astype(jnp.float32)).reshape(
+        b, num_heads, h * w, w)
+    out = FA.flash_attention_rel_pos(q, k, v, bias_h, bias_w,
+                                     img_hw=(h, w))
+    out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+    return L.linear(p["proj"], out)
+
+
+def _use_rel_pos_flash(h, w):
+    from editanything_tpu.core.flash_attention import (_DISABLED, _INTERPRET,
+                                                       _on_tpu)
+    # VMEM guard: full k+v (double-buffered bf16, 128-lane padded) per
+    # (batch, head) must stay under the ~16MB scoped limit
+    kv_bytes = 2 * 2 * 2 * h * w * 128
+    return (not _DISABLED and (_on_tpu() or _INTERPRET)
+            and 1024 <= h * w and h == w and kv_bytes <= 12 * 1024 * 1024)
+
+
 def _window_partition(x, win):
     b, h, w, c = x.shape
     pad_h = (win - h % win) % win
@@ -199,7 +235,10 @@ def _encoder_block(p, x, cfg: SAMConfig, window: int):
         x = _window_unpartition(xw, window, hw_pad, (shortcut.shape[1],
                                                      shortcut.shape[2]))
     else:
-        x = _attention_with_rel_pos(p["attn"], x, cfg.num_heads, 0)
+        if _use_rel_pos_flash(x.shape[1], x.shape[2]):
+            x = _attention_with_rel_pos_flash(p["attn"], x, cfg.num_heads)
+        else:
+            x = _attention_with_rel_pos(p["attn"], x, cfg.num_heads, 0)
     x = shortcut + x
     h = L.layer_norm(p["norm2"], x)
     h = L.linear(p["mlp"]["lin1"], h)

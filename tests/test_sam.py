@@ -156,3 +156,24 @@ def test_predictor_click_flow(params):
     # box prompt
     masks2, _, _ = pred.predict(box=[10, 10, 40, 40], multimask_output=True)
     assert masks2.shape == (3, 48, 56)
+
+
+def test_rel_pos_flash_matches_materializing_path():
+    """The rel-pos flash kernel (global layers) must match the
+    logits-materializing reference path."""
+    import numpy as np
+    cfg = SAM.SAMConfig(img_size=256, patch_size=8, embed_dim=32, depth=1,
+                        num_heads=2, global_attn_indexes=(0,),
+                        window_size=4, out_chans=16, prompt_embed_dim=16,
+                        decoder_mlp_dim=32)
+    params = SAM.init_sam(jax.random.PRNGKey(0), cfg)
+    p = params["image_encoder"]["blocks"]["0"]["attn"]
+    rng = np.random.RandomState(0)
+    for kk in ("rel_pos_h", "rel_pos_w"):
+        p[kk] = jnp.asarray(rng.randn(*p[kk].shape).astype(np.float32) * 0.1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 32))
+    assert SAM._use_rel_pos_flash(32, 32)     # 1024 tokens qualifies
+    ref = SAM._attention_with_rel_pos(p, x, cfg.num_heads, 0)
+    out = SAM._attention_with_rel_pos_flash(p, x, cfg.num_heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
