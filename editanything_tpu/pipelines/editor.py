@@ -282,6 +282,17 @@ class EditAnythingEditor:
         if enable_all_generate or mask is None:
             mask = np.full(image.shape[:2], 255, np.uint8)
 
+        if use_scale_map and scale_map is None and mask is not None:
+            # reference derives the per-pixel control scale from the edit
+            # mask: SAM control zeroed INSIDE the edit region
+            # (editany_lora.py:829-839: 1 - binarize(mask))
+            m01 = np.asarray(mask, np.float32)
+            if m01.ndim == 3:
+                m01 = m01[..., 0]
+            if m01.max() > 1.5:
+                m01 = m01 / 255.0
+            scale_map = 1.0 - (m01 >= 0.5).astype(np.float32)
+
         pipe = self.mix_pipe if use_alpha_mixing else self.pipe
         results = pipe(
             image=image, mask=mask, prompt=positive,

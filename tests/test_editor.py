@@ -207,3 +207,28 @@ class TestImg2Img:
                    condition_image=np.zeros((96, 96, 3), np.uint8),
                    image_resolution=64, num_steps=3, seed=1)
         assert out.shape == (1, 64, 64, 3)
+
+
+class TestScaleMapToggle:
+    def test_auto_scale_map_from_mask(self, editor):
+        """use_scale_map derives 1-mask so the SAM control is zeroed inside
+        the edit region (editany_lora.py:829-839)."""
+        # random-init ControlNets have zero-init output convs (grafting
+        # semantics) -> perturb so the control actually acts
+        perturbed = jax.tree.map(lambda x: x + 0.01,
+                                 editor.bundle.controlnets["sam"][1])
+        editor.bundle.swap_controlnet("sam", perturbed)
+        img = _image(seed=13)
+        mask = np.zeros((96, 96), np.uint8)
+        mask[20:70, 20:70] = 255
+        _, with_map, _, _ = editor.process(
+            image=img, mask=mask, prompt="x",
+            condition_image=np.full((96, 96, 3), 7, np.uint8),
+            image_resolution=64, ddim_steps=2, alignment_ratio=0.5,
+            use_scale_map=True, control_scale=1.0, seed=4)
+        _, without, _, _ = editor.process(
+            image=img, mask=mask, prompt="x",
+            condition_image=np.full((96, 96, 3), 7, np.uint8),
+            image_resolution=64, ddim_steps=2, alignment_ratio=0.5,
+            use_scale_map=False, control_scale=1.0, seed=4)
+        assert (np.asarray(with_map) != np.asarray(without)).any()
