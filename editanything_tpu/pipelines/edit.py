@@ -57,8 +57,8 @@ class EditPipeline(GenerationPipeline):
 
     def __init__(self, bundle: ModelBundle,
                  controls: Sequence[str] = ("sam", "inpaint"),
-                 inpaint_mode: str = "blend"):
-        super().__init__(bundle, controlnet=controls[0])
+                 inpaint_mode: str = "blend", mesh=None):
+        super().__init__(bundle, controlnet=controls[0], mesh=mesh)
         self.controls = tuple(controls)
         self.inpaint_mode = inpaint_mode
         self.cache = ProgramCache()
@@ -243,6 +243,11 @@ class EditPipeline(GenerationPipeline):
         params = {"unet": b.unet,
                   "controlnets": b.controlnet_params(self.controls),
                   "vae": b.vae}
+        latents = self._shard(latents)
+        context = self._shard(context)
+        inputs = jax.tree.map(
+            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
+            and x.shape[0] == num_samples else x, inputs)
         out = program(params, latents, context, inputs)
         if return_latents:
             return jax.device_get(out)

@@ -253,6 +253,20 @@ class EditAnythingEditor:
                 style_fidelity: float = 0.5, ref_scale: float = 0.0):
         """Returns (results_tile, results, [condition_map, mask], prompt) —
         the reference's process() contract (editany_lora.py:609-938)."""
+        import os
+        if os.environ.get("EA_SAVE_INPUTS") == "1":
+            # pickle-replay capture (reference @save_input_to_file on
+            # process, annotator/util.py:77-95; replay via the CLI)
+            import pickle
+            with open("input_data.pkl", "wb") as f:
+                pickle.dump({"args": (), "kwargs": dict(
+                    image=image, mask=mask, prompt=prompt,
+                    a_prompt=a_prompt, n_prompt=n_prompt,
+                    condition_image=condition_image,
+                    num_samples=num_samples,
+                    image_resolution=image_resolution,
+                    ddim_steps=ddim_steps, scale=scale,
+                    control_scale=control_scale, seed=seed)}, f)
         image = HWC3(np.asarray(image, np.uint8))
 
         if enable_auto_prompt and self.captioner is not None:

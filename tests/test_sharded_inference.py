@@ -47,3 +47,21 @@ class TestShardedInference:
         lat = pipe._shard(jnp.zeros((8, 8, 8, 4)))
         shard_shapes = {s.data.shape for s in lat.addressable_shards}
         assert shard_shapes == {(1, 8, 8, 4)}
+
+
+class TestShardedEdit:
+    def test_edit_over_mesh(self):
+        from editanything_tpu.pipelines import EditPipeline, random_bundle
+        from editanything_tpu.pipelines.bundle import place_on_mesh
+        bundle = random_bundle(jax.random.PRNGKey(2), tiny=True,
+                               controlnet_names=("sam", "inpaint"))
+        mesh = make_mesh(n_data=8, n_model=1)
+        pipe = EditPipeline(place_on_mesh(bundle, mesh),
+                            controls=("sam", "inpaint"), mesh=mesh)
+        rng = np.random.RandomState(0)
+        out = pipe(image=rng.randint(0, 255, (96, 96, 3)).astype(np.uint8),
+                   mask=np.full((96, 96), 255, np.uint8), prompt="cat",
+                   condition_image=_cond(), num_samples=8,
+                   image_resolution=64, num_steps=2, alignment_ratio=0.5,
+                   seed=0)
+        assert out.shape == (8, 64, 64, 3)
