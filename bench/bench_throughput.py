@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("EA_COMPILE_CACHE",
+                                 "/tmp/ea_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def bench_edit_throughput(batch: int, steps: int):
     from editanything_tpu.engine import DenoiseConfig, build_denoiser
