@@ -181,3 +181,23 @@ class TestSketch:
         cond = make_inpaint_condition(img01, mask)
         assert cond[0, 0, 0] == 0.5
         assert cond[2, 2, 0] == -1.0
+
+
+class TestNonSquare:
+    def test_non_square_edit_and_generate(self, bundle):
+        """Arbitrary aspect ratios: 96x144 -> 64x128 (64-multiple rounding
+        identical to the reference resize_image, annotator/util.py:28-38)."""
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (96, 144, 3)).astype(np.uint8)
+        mask = np.zeros((96, 144), np.uint8)
+        mask[20:70, 30:100] = 255
+        cond = np.zeros((96, 144, 3), np.uint8)
+        pipe = EditPipeline(bundle, controls=("sam", "inpaint"))
+        out = pipe(image=img, mask=mask, prompt="cat",
+                   condition_image=cond, image_resolution=64, num_steps=2,
+                   alignment_ratio=0.5, seed=0)
+        assert out.shape == (1, 64, 128, 3)
+        gen = GenerationPipeline(bundle, controlnet="sam")
+        out2 = gen(prompt="cat", condition_image=cond,
+                   image_resolution=64, num_steps=2, seed=0)
+        assert out2.shape == (1, 64, 128, 3)
