@@ -18,10 +18,20 @@ covers every module our models/vlpart.py re-implements:
                                             -> text_encoder.clip.* with the
       fused in_proj split into q/k/v (models/clip_text.py naming)
 
-GroundingDINO import is NOT provided yet: the reference consumes the
-external package whose BiAttentionBlock/encoder internals (value gates,
-droppath, per-proj GroupNorms) differ from the simplified fusion blocks in
-models/groundingdino.py — a weight-compatible variant is a follow-up.
+GroundingDINO (`dino_to_tree`) imports the official
+`groundingdino_swint_ogc.pth` layout (the checkpoint the reference loads
+via utils/GroundingDINO_SwinT_OGC.py + sam2groundingdino_edit.py:64-75):
+
+  backbone.0.*                 -> backbone.* (swin, via swin_to_tree)
+  bert.*                       -> bert.* (via bert_to_tree; pooler dropped)
+  feat_map / input_proj.{i}.{0,1} -> feat_map / input_proj.{i}.{conv,norm}
+  transformer.encoder.layers.N.self_attn.{sampling_offsets,...} etc.
+                               -> same paths, mechanical
+  nn.MultiheadAttention packed in_proj_{weight,bias} (text_layers
+  self_attn, decoder self_attn / ca_text) -> split q/k/v + out_proj -> o
+  bbox_embed.0.* (shared across the 6 decoder copies) -> bbox_embed.*;
+  bbox_embed.{1..5}.* and transformer.decoder.bbox_embed.* skipped (the
+  official model ties them to the same module)
 """
 
 from __future__ import annotations
@@ -31,7 +41,8 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-from editanything_tpu.checkpoints.convert import (state_dict_to_tree,
+from editanything_tpu.checkpoints.convert import (bert_to_tree,
+                                                  state_dict_to_tree,
                                                   swin_to_tree)
 
 
@@ -125,4 +136,60 @@ def vlpart_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
     te = tree["text_encoder"]
     if isinstance(te.get("text_projection"), dict):
         te["text_projection"] = next(iter(te["text_projection"].values()))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# GroundingDINO
+# ---------------------------------------------------------------------------
+
+_DINO_SKIP = re.compile(
+    r"^(transformer\.decoder\.bbox_embed\.|bbox_embed\.[1-5]\.|label_enc"
+    r"|bert\.pooler|backbone\.1)")
+
+
+def _split_packed_mha(out: Dict[str, np.ndarray], key: str, v: np.ndarray):
+    """nn.MultiheadAttention in_proj_{weight,bias} -> q/k/v leaves."""
+    base, leaf = key.rsplit(".", 1)
+    a = np.asarray(v)
+    d = a.shape[0] // 3
+    suffix = "weight" if leaf == "in_proj_weight" else "bias"
+    for i, name in enumerate("qkv"):
+        out[f"{base}.{name}.{suffix}"] = a[i * d:(i + 1) * d]
+
+
+def dino_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """Official groundingdino_swint_ogc.pth -> models/groundingdino.py tree."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+
+    swin_sd, bert_sd, rest = {}, {}, {}
+    for k, v in sd.items():
+        if _DINO_SKIP.match(k):
+            continue
+        if k.startswith("backbone.0."):
+            swin_sd[k[len("backbone.0."):]] = v
+        elif k.startswith("bert."):
+            bert_sd[k] = v
+        else:
+            rest[k] = v
+
+    remapped: Dict[str, np.ndarray] = {}
+    for k, v in rest.items():
+        nk = k
+        nk = re.sub(r"^bbox_embed\.0\.", "bbox_embed.", nk)
+        m = re.match(r"^input_proj\.(\d+)\.([01])\.(weight|bias)$", nk)
+        if m:
+            i, sub, leaf = m.groups()
+            nk = f"input_proj.{i}.{'conv' if sub == '0' else 'norm'}.{leaf}"
+        if nk.endswith((".in_proj_weight", ".in_proj_bias")):
+            _split_packed_mha(remapped, nk, v)
+            continue
+        nk = nk.replace(".out_proj.", ".o.")
+        remapped[nk] = v
+
+    tree = state_dict_to_tree(remapped, norm_weight_name="scale",
+                              embedding_modules=("tgt_embed",), dtype=dtype)
+    tree["backbone"] = swin_to_tree(swin_sd, dtype=dtype)
+    tree["bert"] = bert_to_tree(bert_sd, dtype=dtype)
     return tree

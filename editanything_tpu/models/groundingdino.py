@@ -8,22 +8,48 @@ contrastive token-level classification) driven at
 /root/reference/sam2groundingdino_edit.py:130-201 (`prompt2mask`:
 box/text thresholds 0.25, top-2 boxes -> SAM).
 
+This implementation is weight-for-weight compatible with the official
+`groundingdino_swint_ogc.pth` checkpoint (see
+checkpoints/detectors.py::dino_to_tree): the param tree mirrors the torch
+module names, and every architectural detail of the official model is
+reproduced —
+
+- BiAttentionBlock fusion with value projections, per-branch layer-scale
+  gammas (gamma_v/gamma_l), pre-LN that also rebases the residual, and
+  droppath-as-identity at inference
+- text enhancer layers (nhead//2 heads, ffn//2) with sine position
+  embeddings over per-phrase position ids
+- per-phrase block-diagonal text self-attention masks + position ids
+  (generate_masks_with_special_tokens semantics), fed to BERT as well
+- input_proj = 1x1 conv + GroupNorm(32) per level, extra stride-2 level
+- PositionEmbeddingSineHW (cumsum-normalized, temperature 20) and
+  level_embed added to the positional encoding (not the features)
+- MSDeformAttn with grid_sample zero-padding semantics, 4-d reference
+  boxes in the decoder (offsets scaled by box w/h / n_points / 2)
+- two-stage 'standard' query selection over gen_encoder_output_proposals
+  (wh prior 0.05*2^lvl, 0.01/0.99 validity, inf/zero masking), learned
+  tgt_embed, separate enc_out_bbox_embed
+- decoder: self-attn -> text cross-attn -> deformable image cross-attn ->
+  FFN, query pos from (y,x,w,h) sine embedding through ref_point_head,
+  shared bbox_embed refinement on raw states, final heads on LayerNormed
+  states with the previous layer's reference (matching the torch
+  outputs_coord recomputation)
+
 TPU design notes:
-- MSDeformAttn (CUDA kernel in the reference's dependency) becomes
-  bilinear gather + einsum over fixed (levels, points) sampling grids
-  (SURVEY.md section 2.9)
+- MSDeformAttn (CUDA kernel in the reference's dependency) becomes a
+  vectorized corner-gather + weighted sum (SURVEY.md section 2.9); the
+  four bilinear corners of all (head, level, point) samples are gathered
+  in one take per level.
 - text is padded to a fixed max_text_len with attention masking; image
   tokens are the flattened multi-scale pyramid (static per resolution
-  bucket)
-- query selection (two_stage 'standard') is a fixed top-num_queries
-  lax.top_k over token-text contrastive scores
+  bucket); the whole forward jits with static shapes.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +72,9 @@ class BertConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DINOConfig:
-    swin: SW.SwinConfig = dataclasses.field(default_factory=SW.swin_tiny)
+    swin: SW.SwinConfig = dataclasses.field(
+        default_factory=lambda: dataclasses.replace(
+            SW.swin_tiny(), out_indices=(1, 2, 3)))
     return_interm_indices: Tuple[int, ...] = (1, 2, 3)
     bert: BertConfig = dataclasses.field(default_factory=BertConfig)
     hidden_dim: int = 256
@@ -59,16 +87,32 @@ class DINOConfig:
     n_points: int = 4
     max_text_len: int = 256
     pe_temperature: float = 20.0
+    input_proj_groups: int = 32
+
+    # the official builder derives these as nheads//2 / dim_feedforward//2
+    @property
+    def text_heads(self) -> int:
+        return max(self.nheads // 2, 1)
+
+    @property
+    def fusion_dim(self) -> int:
+        return self.dim_feedforward // 2
+
+    @property
+    def fusion_heads(self) -> int:
+        return max(self.nheads // 2, 1)
 
 
 def tiny_dino_config() -> DINOConfig:
     return DINOConfig(
-        swin=SW.SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
-                           num_heads=(1, 2, 2, 2), window_size=4),
+        swin=SW.SwinConfig(embed_dim=8, depths=(2, 1, 1, 1),
+                           num_heads=(1, 2, 2, 2), window_size=4,
+                           out_indices=(1, 2, 3)),
         bert=BertConfig(vocab_size=200, hidden=16, layers=1, heads=2,
                         intermediate=32, max_positions=32),
         hidden_dim=16, nheads=2, enc_layers=1, dec_layers=1,
-        dim_feedforward=32, num_queries=12, n_points=2, max_text_len=16)
+        dim_feedforward=32, num_queries=12, n_points=2, max_text_len=16,
+        input_proj_groups=4)
 
 
 # ---------------------------------------------------------------------------
@@ -109,14 +153,23 @@ def init_bert(key, cfg: BertConfig, dtype=jnp.float32):
     }
 
 
-def bert_apply(params, cfg: BertConfig, ids, attn_mask):
-    """ids (B, T), attn_mask (B, T) bool -> (B, T, D) (post-LN BERT)."""
+def bert_apply(params, cfg: BertConfig, ids, attn_mask, position_ids=None):
+    """ids (B, T); attn_mask (B, T) key mask or (B, T, T) full mask (bool,
+    True = attend); optional position_ids (B, T). Returns (B, T, D)
+    (post-LN BERT; BertModel with a custom attention_mask/position_ids as
+    GroundingDINO's BertModelWarper drives it)."""
     b, t = ids.shape
     emb = params["embeddings"]
-    x = emb["word"][ids] + emb["position"][jnp.arange(t)][None] \
-        + emb["token_type"][jnp.zeros_like(ids)]
+    if position_ids is None:
+        pos = emb["position"][jnp.arange(t)][None]
+    else:
+        pos = emb["position"][position_ids]
+    x = emb["word"][ids] + pos + emb["token_type"][jnp.zeros_like(ids)]
     x = L.layer_norm(emb["norm"], x)
-    mask = attn_mask[:, None, None, :]                    # (B, 1, 1, T)
+    if attn_mask.ndim == 2:
+        mask = attn_mask[:, None, None, :]                # (B, 1, 1, T)
+    else:
+        mask = attn_mask[:, None]                         # (B, 1, T, T)
     for i in range(cfg.layers):
         lp = params["layers"][str(i)]
         a = lp["attention"]
@@ -133,8 +186,34 @@ def bert_apply(params, cfg: BertConfig, ids, attn_mask):
     return x
 
 
+def generate_text_masks(ids: np.ndarray, special_ids: Sequence[int]
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-phrase block-diagonal self-attention mask + position ids.
+
+    Matches groundingdino bertwarper
+    generate_masks_with_special_tokens_and_transfer_map: special tokens
+    ([CLS]/[SEP]/./?) delimit phrases; each token attends within its
+    phrase (inclusive of the closing special token); position ids restart
+    at every phrase. Padding tokens attend only to themselves, which
+    leaves real-token activations identical to the reference's unpadded
+    run. ids: (T,) -> ((T, T) bool, (T,) int32)."""
+    ids = np.asarray(ids)
+    t = ids.shape[0]
+    attn = np.eye(t, dtype=bool)
+    pos = np.zeros((t,), np.int32)
+    prev = 0
+    for col in np.nonzero(np.isin(ids, list(special_ids)))[0]:
+        if col == 0 or col == t - 1:
+            pos[col] = 0
+        else:
+            attn[prev + 1:col + 1, prev + 1:col + 1] = True
+            pos[prev + 1:col + 1] = np.arange(0, col - prev)
+        prev = int(col)
+    return attn, pos
+
+
 # ---------------------------------------------------------------------------
-# multi-scale deformable attention (gather + einsum; no CUDA kernel)
+# multi-scale deformable attention (vectorized gather; no CUDA kernel)
 # ---------------------------------------------------------------------------
 
 def init_deform_attn(key, d, heads, levels, points, dtype):
@@ -151,322 +230,529 @@ def init_deform_attn(key, d, heads, levels, points, dtype):
 
 
 def _bilinear_sample(value_hw, locs):
-    """value_hw (H, W, D); locs (N, 2) in [0,1] normalized -> (N, D)."""
+    """value_hw (H, W, D); locs (N, 2) in [0,1] normalized -> (N, D).
+
+    grid_sample(align_corners=False, padding_mode='zeros') semantics: the
+    sample point is loc*size - 0.5 in pixel space and out-of-range corner
+    contributions are zero (MSDeformAttn's CUDA kernel behavior)."""
     h, w, d = value_hw.shape
-    x = locs[:, 0] * w - 0.5
-    y = locs[:, 1] * h - 0.5
-    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    tx = jnp.clip(x - x0, 0, 1)[:, None]
-    ty = jnp.clip(y - y0, 0, 1)[:, None]
-    xi0, xi1 = x0.astype(jnp.int32), x1.astype(jnp.int32)
-    yi0, yi1 = y0.astype(jnp.int32), y1.astype(jnp.int32)
-    f00 = value_hw[yi0, xi0]
-    f01 = value_hw[yi0, xi1]
-    f10 = value_hw[yi1, xi0]
-    f11 = value_hw[yi1, xi1]
-    fx0 = f00 * (1 - tx) + f01 * tx
-    fx1 = f10 * (1 - tx) + f11 * tx
-    return fx0 * (1 - ty) + fx1 * ty
+    out = _gather_bilinear(value_hw.reshape(h * w, 1, d),
+                           locs[:, None, None, :], h, w)
+    return out[:, 0, 0]
+
+
+def _gather_bilinear(flat_value, locs, h, w):
+    """flat_value (H*W, G, D); locs (N, G, P, 2) normalized -> (N, G, P, D).
+
+    Vectorized zero-padded bilinear: one gather per corner per group axis
+    G (attention heads)."""
+    x = locs[..., 0] * w - 0.5
+    y = locs[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+
+    def corner(xi, yi, wgt):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = (jnp.clip(yi, 0, h - 1) * w
+               + jnp.clip(xi, 0, w - 1)).astype(jnp.int32)
+        g = jax.vmap(lambda vv, ii: vv[ii], in_axes=(1, 1), out_axes=1)(
+            flat_value, idx)                              # (N, G, P, D)
+        return g * (wgt * valid[..., None].astype(wgt.dtype))
+
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+    return (corner(xi0, yi0, (1 - tx) * (1 - ty))
+            + corner(xi0 + 1, yi0, tx * (1 - ty))
+            + corner(xi0, yi0 + 1, (1 - tx) * ty)
+            + corner(xi0 + 1, yi0 + 1, tx * ty))
 
 
 def deform_attn(params, query, reference_points, value_flat, shapes,
                 *, heads: int, points: int):
-    """query (N, D); reference_points (N, L, 2) normalized; value_flat
-    (sumHW, D); shapes list of (H, W). Returns (N, D)."""
+    """query (N, D); reference_points (N, L, 2) normalized centers or
+    (N, L, 4) normalized cxcywh boxes (decoder); value_flat (sumHW, D);
+    shapes list of (H, W). Returns (N, D).
+
+    4-d references scale the learned offsets by the box size:
+    loc = ref_xy + offsets / n_points * ref_wh * 0.5 (MSDeformAttn).
+
+    TPU formulation: one flat `take` per bilinear corner over the
+    level-concatenated value (full D-channel rows — trailing dim a
+    multiple of the 128-lane width — which compiles and runs orders of
+    magnitude faster on TPU than per-head 32-channel gathers), with the
+    own-head slice selected afterwards and out-of-range corners zeroed
+    (grid_sample padding_mode='zeros')."""
     n, d = query.shape
     levels = len(shapes)
     dh = d // heads
-    value = L.linear(params["value_proj"], value_flat)
+    value = L.linear(params["value_proj"], value_flat)    # (sumHW, D)
 
     offs = L.linear(params["sampling_offsets"], query) \
-        .reshape(n, heads, levels, points, 2)
-    w = L.linear(params["attention_weights"], query) \
+        .reshape(n, heads, levels, points, 2).astype(jnp.float32)
+    attw = L.linear(params["attention_weights"], query) \
         .reshape(n, heads, levels * points)
-    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1) \
+    attw = jax.nn.softmax(attw.astype(jnp.float32), axis=-1) \
         .reshape(n, heads, levels, points)
 
-    out = jnp.zeros((n, heads, dh), jnp.float32)
+    four_d = reference_points.shape[-1] == 4
+    ref = reference_points.astype(jnp.float32)
+
+    # per-level pixel-space sample coordinates, stacked over levels
+    xs, ys = [], []
     start = 0
+    starts = []
     for li, (h, wd) in enumerate(shapes):
-        v = value[start:start + h * wd].reshape(h, wd, heads, dh)
+        starts.append(start)
         start += h * wd
-        norm = jnp.asarray([wd, h], jnp.float32)
-        for pi in range(points):
-            # per-head sampling locations: (N, heads, 2)
-            locs = reference_points[:, None, li] + offs[:, :, li, pi] / norm
-            for hi in range(heads):
-                s = _bilinear_sample(v[:, :, hi], locs[:, hi])   # (N, dh)
-                out = out.at[:, hi].add(
-                    s.astype(jnp.float32) * w[:, hi, li, pi][:, None])
-    return L.linear(params["output_proj"],
-                    out.reshape(n, d).astype(query.dtype))
+        if four_d:
+            locs = (ref[:, None, li, None, :2]
+                    + offs[:, :, li] / points
+                    * ref[:, None, li, None, 2:] * 0.5)
+        else:
+            norm = jnp.asarray([wd, h], jnp.float32)
+            locs = ref[:, None, li, None, :] + offs[:, :, li] / norm
+        xs.append(locs[..., 0] * wd - 0.5)                # (N, H, P)
+        ys.append(locs[..., 1] * h - 0.5)
+    x = jnp.stack(xs, axis=2)                             # (N, H, L, P)
+    y = jnp.stack(ys, axis=2)
+    lvl_h = jnp.asarray([h for h, _ in shapes])[None, None, :, None]
+    lvl_w = jnp.asarray([w for _, w in shapes])[None, None, :, None]
+    lvl_start = jnp.asarray(starts)[None, None, :, None]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    xi0 = x0.astype(jnp.int32)
+    yi0 = y0.astype(jnp.int32)
+
+    head_sel = jnp.arange(heads)[None, :, None, None, None, None]
+    out = jnp.zeros((n, heads, levels, points, 1, dh), jnp.float32)
+    for dx, dy, wgt in ((0, 0, (1 - tx) * (1 - ty)),
+                        (1, 0, tx * (1 - ty)),
+                        (0, 1, (1 - tx) * ty),
+                        (1, 1, tx * ty)):
+        xi = xi0 + dx
+        yi = yi0 + dy
+        valid = ((xi >= 0) & (xi < lvl_w) & (yi >= 0) & (yi < lvl_h))
+        idx = (lvl_start + jnp.clip(yi, 0, lvl_h - 1) * lvl_w
+               + jnp.clip(xi, 0, lvl_w - 1))
+        g = jnp.take(value, idx.reshape(-1), axis=0) \
+            .reshape(n, heads, levels, points, heads, dh)
+        g = jnp.take_along_axis(g, head_sel, axis=4)      # own head slice
+        w = (wgt * valid.astype(jnp.float32) * attw)[..., None, None]
+        out = out + g.astype(jnp.float32) * w
+    out = out.sum(axis=(2, 3)).reshape(n, d)
+    return L.linear(params["output_proj"], out.astype(query.dtype))
 
 
 # ---------------------------------------------------------------------------
-# fusion / enhancer / decoder blocks
+# generic multi-head attention (nn.MultiheadAttention semantics)
 # ---------------------------------------------------------------------------
 
-def _mha(p, q_in, kv_in, heads, mask=None):
-    n, d = q_in.shape[-2], q_in.shape[-1]
+def _mha(p, q_in, k_in, v_in, heads, mask=None):
+    """q_in (N, D) or (B, N, D); k_in/v_in (M, D)/(B, M, D); mask
+    broadcastable to (B, H, N, M), True = attend."""
+    d = q_in.shape[-1]
     single = q_in.ndim == 2
     if single:
-        q_in, kv_in = q_in[None], kv_in[None]
-    b = q_in.shape[0]
-    m = kv_in.shape[1]
-    q = L.linear(p["q"], q_in).reshape(b, -1, heads, d // heads) \
+        q_in, k_in, v_in = q_in[None], k_in[None], v_in[None]
+    b, nq = q_in.shape[0], q_in.shape[1]
+    m = k_in.shape[1]
+    q = L.linear(p["q"], q_in).reshape(b, nq, heads, d // heads) \
         .transpose(0, 2, 1, 3)
-    k = L.linear(p["k"], kv_in).reshape(b, m, heads, d // heads) \
+    k = L.linear(p["k"], k_in).reshape(b, m, heads, d // heads) \
         .transpose(0, 2, 1, 3)
-    v = L.linear(p["v"], kv_in).reshape(b, m, heads, d // heads) \
+    v = L.linear(p["v"], v_in).reshape(b, m, heads, d // heads) \
         .transpose(0, 2, 1, 3)
     out = L.attention(q, k, v, mask=mask)
-    out = out.transpose(0, 2, 1, 3).reshape(b, -1, d)
+    out = out.transpose(0, 2, 1, 3).reshape(b, nq, d)
     out = L.linear(p["o"], out)
     return out[0] if single else out
 
 
-def _init_mha(key, d, dtype, kv_dim=None):
+def _init_mha(key, d, dtype):
     ks = jax.random.split(key, 4)
-    kv = kv_dim or d
     return {"q": L.init_linear(ks[0], d, d, dtype),
-            "k": L.init_linear(ks[1], kv, d, dtype),
-            "v": L.init_linear(ks[2], kv, d, dtype),
+            "k": L.init_linear(ks[1], d, d, dtype),
+            "v": L.init_linear(ks[2], d, d, dtype),
             "o": L.init_linear(ks[3], d, d, dtype)}
 
 
-def _init_ffn(key, d, hidden, dtype):
-    ks = jax.random.split(key, 2)
-    return {"fc1": L.init_linear(ks[0], d, hidden, dtype),
-            "fc2": L.init_linear(ks[1], hidden, d, dtype),
-            "norm": L.init_layer_norm(d, dtype)}
+# ---------------------------------------------------------------------------
+# init (tree mirrors the official torch module names)
+# ---------------------------------------------------------------------------
 
-
-def _ffn(p, x):
-    return L.layer_norm(p["norm"],
-                        x + L.linear(p["fc2"],
-                                     jax.nn.relu(L.linear(p["fc1"], x))))
+def _init_bi_attention(key, d, fusion_dim, dtype):
+    ks = jax.random.split(key, 6)
+    return {
+        "layer_norm_v": L.init_layer_norm(d, dtype),
+        "layer_norm_l": L.init_layer_norm(d, dtype),
+        "gamma_v": jnp.full((d,), 1e-4, dtype),
+        "gamma_l": jnp.full((d,), 1e-4, dtype),
+        "attn": {
+            "v_proj": L.init_linear(ks[0], d, fusion_dim, dtype),
+            "l_proj": L.init_linear(ks[1], d, fusion_dim, dtype),
+            "values_v_proj": L.init_linear(ks[2], d, fusion_dim, dtype),
+            "values_l_proj": L.init_linear(ks[3], d, fusion_dim, dtype),
+            "out_v_proj": L.init_linear(ks[4], fusion_dim, d, dtype),
+            "out_l_proj": L.init_linear(ks[5], fusion_dim, d, dtype),
+        },
+    }
 
 
 def init_dino(key, cfg: DINOConfig, dtype=jnp.float32):
-    ks = iter(jax.random.split(key, 64 + (cfg.enc_layers + cfg.dec_layers) * 16))
+    ks = iter(jax.random.split(key,
+                               64 + (cfg.enc_layers + cfg.dec_layers) * 24))
     nxt = lambda: next(ks)
     d = cfg.hidden_dim
     lv = cfg.num_feature_levels
 
-    enc = {}
+    enc_layers, text_layers, fusion_layers = {}, {}, {}
     for i in range(cfg.enc_layers):
-        enc[str(i)] = {
+        enc_layers[str(i)] = {
             "self_attn": init_deform_attn(nxt(), d, cfg.nheads, lv,
                                           cfg.n_points, dtype),
-            "self_norm": L.init_layer_norm(d, dtype),
-            "ffn": _init_ffn(nxt(), d, cfg.dim_feedforward, dtype),
-            # text enhancer (self-attn over text)
-            "text_attn": _init_mha(nxt(), d, dtype),
-            "text_norm": L.init_layer_norm(d, dtype),
-            "text_ffn": _init_ffn(nxt(), d, cfg.dim_feedforward, dtype),
-            # bi-direction fusion
-            "i2t_attn": _init_mha(nxt(), d, dtype),
-            "t2i_attn": _init_mha(nxt(), d, dtype),
-            "fusion_norm_img": L.init_layer_norm(d, dtype),
-            "fusion_norm_txt": L.init_layer_norm(d, dtype),
+            "norm1": L.init_layer_norm(d, dtype),
+            "linear1": L.init_linear(nxt(), d, cfg.dim_feedforward, dtype),
+            "linear2": L.init_linear(nxt(), cfg.dim_feedforward, d, dtype),
+            "norm2": L.init_layer_norm(d, dtype),
         }
+        tf = cfg.dim_feedforward // 2
+        text_layers[str(i)] = {
+            "self_attn": _init_mha(nxt(), d, dtype),
+            "norm1": L.init_layer_norm(d, dtype),
+            "linear1": L.init_linear(nxt(), d, tf, dtype),
+            "linear2": L.init_linear(nxt(), tf, d, dtype),
+            "norm2": L.init_layer_norm(d, dtype),
+        }
+        fusion_layers[str(i)] = _init_bi_attention(nxt(), d, cfg.fusion_dim,
+                                                   dtype)
 
     dec = {}
     for i in range(cfg.dec_layers):
         dec[str(i)] = {
             "self_attn": _init_mha(nxt(), d, dtype),
-            "self_norm": L.init_layer_norm(d, dtype),
-            "text_cross": _init_mha(nxt(), d, dtype),
-            "text_norm": L.init_layer_norm(d, dtype),
+            "norm2": L.init_layer_norm(d, dtype),
+            "ca_text": _init_mha(nxt(), d, dtype),
+            "catext_norm": L.init_layer_norm(d, dtype),
             "cross_attn": init_deform_attn(nxt(), d, cfg.nheads, lv,
                                            cfg.n_points, dtype),
-            "cross_norm": L.init_layer_norm(d, dtype),
-            "ffn": _init_ffn(nxt(), d, cfg.dim_feedforward, dtype),
+            "norm1": L.init_layer_norm(d, dtype),
+            "linear1": L.init_linear(nxt(), d, cfg.dim_feedforward, dtype),
+            "linear2": L.init_linear(nxt(), cfg.dim_feedforward, d, dtype),
+            "norm3": L.init_layer_norm(d, dtype),
         }
 
     swin_dims = [cfg.swin.stage_dim(i) for i in cfg.return_interm_indices]
-    input_proj = {str(i): L.init_conv2d(nxt(), sd, d, 1, dtype)
-                  for i, sd in enumerate(swin_dims)}
-    # extra level: stride-2 conv on the coarsest feature
-    input_proj[str(len(swin_dims))] = L.init_conv2d(
-        nxt(), swin_dims[-1], d, 3, dtype)
+    input_proj = {}
+    for i, sd in enumerate(swin_dims):
+        input_proj[str(i)] = {"conv": L.init_conv2d(nxt(), sd, d, 1, dtype),
+                              "norm": L.init_group_norm(d, dtype)}
+    input_proj[str(len(swin_dims))] = {
+        "conv": L.init_conv2d(nxt(), swin_dims[-1], d, 3, dtype),
+        "norm": L.init_group_norm(d, dtype)}
 
-    bbox_head = {
-        "0": L.init_linear(nxt(), d, d, dtype),
-        "1": L.init_linear(nxt(), d, d, dtype),
-        "2": L.init_linear(nxt(), d, 4, dtype, zero=True),
-    }
+    def _bbox_mlp_init():
+        return {"layers": {
+            "0": L.init_linear(nxt(), d, d, dtype),
+            "1": L.init_linear(nxt(), d, d, dtype),
+            "2": L.init_linear(nxt(), d, 4, dtype, zero=True),
+        }}
+
     return {
         "backbone": SW.init_swin(nxt(), cfg.swin, dtype),
         "bert": init_bert(nxt(), cfg.bert, dtype),
         "feat_map": L.init_linear(nxt(), cfg.bert.hidden, d, dtype),
         "input_proj": input_proj,
-        "level_embed": jax.random.normal(nxt(), (lv, d), dtype) * 0.02,
-        "encoder": enc,
-        "decoder": dec,
-        "enc_output": L.init_linear(nxt(), d, d, dtype),
-        "enc_output_norm": L.init_layer_norm(d, dtype),
-        "tgt_embed": jax.random.normal(nxt(), (cfg.num_queries, d),
-                                       dtype) * 0.02,
-        "bbox_embed": bbox_head,
-        "ref_point_head": {
-            "0": L.init_linear(nxt(), 2 * d, d, dtype),
-            "1": L.init_linear(nxt(), d, d, dtype),
+        "transformer": {
+            "level_embed": jax.random.normal(nxt(), (lv, d), dtype) * 0.02,
+            "encoder": {"layers": enc_layers, "text_layers": text_layers,
+                        "fusion_layers": fusion_layers},
+            "decoder": {
+                "layers": dec,
+                "norm": L.init_layer_norm(d, dtype),
+                "ref_point_head": {"layers": {
+                    "0": L.init_linear(nxt(), 2 * d, d, dtype),
+                    "1": L.init_linear(nxt(), d, d, dtype),
+                }},
+            },
+            "tgt_embed": {"weight": jax.random.normal(
+                nxt(), (cfg.num_queries, d), dtype) * 0.02},
+            "enc_output": L.init_linear(nxt(), d, d, dtype),
+            "enc_output_norm": L.init_layer_norm(d, dtype),
+            "enc_out_bbox_embed": _bbox_mlp_init(),
         },
+        "bbox_embed": _bbox_mlp_init(),
     }
 
 
 def _bbox_mlp(p, x):
-    x = jax.nn.relu(L.linear(p["0"], x))
-    x = jax.nn.relu(L.linear(p["1"], x))
-    return L.linear(p["2"], x)
+    y = jax.nn.relu(L.linear(p["layers"]["0"], x))
+    y = jax.nn.relu(L.linear(p["layers"]["1"], y))
+    return L.linear(p["layers"]["2"], y)
 
 
-def _sine_pos_2d(shapes, d, temperature):
-    """Flattened multi-scale sine position embeddings (sumHW, D)."""
+# ---------------------------------------------------------------------------
+# positional encodings
+# ---------------------------------------------------------------------------
+
+def _sine_pos_hw(shapes, d, temperature):
+    """PositionEmbeddingSineHW over unpadded maps, flattened (sumHW, D).
+
+    y/x embeds are 1-based cumsum positions normalized to 2*pi
+    (cumsum(ones) semantics with no padding mask); channel order is
+    (pos_y, pos_x), each num_pos_feats = D/2 with interleaved sin/cos."""
+    npf = d // 2
+    dim_t = temperature ** (2 * (np.arange(npf) // 2) / npf)
     outs = []
     for h, w in shapes:
-        ys = (np.arange(h) + 0.5) / h
-        xs = (np.arange(w) + 0.5) / w
-        gy, gx = np.meshgrid(ys, xs, indexing="ij")
-        dim = d // 4
-        freq = temperature ** (2 * (np.arange(dim) // 2) / dim)
-        ex = gx[..., None] * 2 * np.pi / freq
-        ey = gy[..., None] * 2 * np.pi / freq
-        pe = np.concatenate([
-            np.stack([np.sin(ex[..., 0::2]), np.cos(ex[..., 1::2])],
-                     -1).reshape(h, w, -1),
-            np.stack([np.sin(ey[..., 0::2]), np.cos(ey[..., 1::2])],
-                     -1).reshape(h, w, -1)], axis=-1)
-        outs.append(pe.reshape(h * w, -1))
-    pe = np.concatenate(outs, axis=0)
-    if pe.shape[1] < d:
-        pe = np.pad(pe, ((0, 0), (0, d - pe.shape[1])))
-    return jnp.asarray(pe[:, :d], jnp.float32)
+        ye = (np.arange(1, h + 1, dtype=np.float64)
+              / (h + 1e-6) * 2 * np.pi)
+        xe = (np.arange(1, w + 1, dtype=np.float64)
+              / (w + 1e-6) * 2 * np.pi)
+        py = ye[:, None] / dim_t                          # (H, npf)
+        px = xe[:, None] / dim_t
+        py = np.stack([np.sin(py[:, 0::2]), np.cos(py[:, 1::2])],
+                      axis=2).reshape(h, npf)
+        px = np.stack([np.sin(px[:, 0::2]), np.cos(px[:, 1::2])],
+                      axis=2).reshape(w, npf)
+        pe = np.concatenate([np.broadcast_to(py[:, None], (h, w, npf)),
+                             np.broadcast_to(px[None], (h, w, npf))],
+                            axis=-1)
+        outs.append(pe.reshape(h * w, d))
+    return jnp.asarray(np.concatenate(outs, axis=0), jnp.float32)
+
+
+def _sine_embed_1d(pos, num_pos_feats=256, temperature=10000.0):
+    """get_sine_pos_embed for scalar positions: (T,) -> (T, num_pos_feats)."""
+    dim_t = temperature ** (2 * (jnp.arange(num_pos_feats) // 2)
+                            / num_pos_feats)
+    x = pos.astype(jnp.float32)[:, None] * 2 * np.pi / dim_t
+    return jnp.stack([jnp.sin(x[:, 0::2]), jnp.cos(x[:, 1::2])],
+                     axis=2).reshape(pos.shape[0], num_pos_feats)
 
 
 def _box_sine_embed(boxes, d, temperature=10000.0):
-    """(N, 4) sigmoid-space cxcywh -> (N, 2D) sine embedding (cx, cy)."""
-    dim = d // 2
-    freq = temperature ** (2 * (jnp.arange(dim) // 2) / dim)
-    out = []
-    for i in range(4):
-        e = boxes[:, i:i + 1] * 2 * np.pi / freq
-        out.append(jnp.concatenate([jnp.sin(e[:, 0::2]),
-                                    jnp.cos(e[:, 1::2])], axis=-1))
-    return jnp.concatenate(out, axis=-1)[:, :2 * d]
+    """gen_sineembed_for_position: (N, 4) sigmoid-space cxcywh -> (N, 2D)
+    in channel order (y, x, w, h), D/2 feats each, interleaved sin/cos."""
+    npf = d // 2
+    dim_t = temperature ** (2 * (jnp.arange(npf) // 2) / npf)
+
+    def emb(coord):
+        e = coord[:, None] * 2 * np.pi / dim_t
+        return jnp.stack([jnp.sin(e[:, 0::2]), jnp.cos(e[:, 1::2])],
+                         axis=2).reshape(boxes.shape[0], npf)
+
+    return jnp.concatenate([emb(boxes[:, 1]), emb(boxes[:, 0]),
+                            emb(boxes[:, 2]), emb(boxes[:, 3])], axis=-1)
 
 
-def _inverse_sigmoid(x, eps=1e-5):
-    x = jnp.clip(x, eps, 1 - eps)
-    return jnp.log(x / (1 - x))
+def _inverse_sigmoid(x, eps=1e-3):
+    """inverse_sigmoid from groundingdino util.misc (eps 1e-3)."""
+    x = jnp.clip(x, 0, 1)
+    return jnp.log(jnp.clip(x, eps, None) / jnp.clip(1 - x, eps, None))
+
+
+# ---------------------------------------------------------------------------
+# encoder pieces
+# ---------------------------------------------------------------------------
+
+def _bi_attention(p, v, l, heads, text_pad_mask):
+    """BiAttentionBlock: pre-LN rebases the residual; layer-scale gammas;
+    droppath = identity at inference. text_pad_mask (Tl,) True = pad."""
+    vn = L.layer_norm(p["layer_norm_v"], v)
+    ln = L.layer_norm(p["layer_norm_l"], l)
+    a = p["attn"]
+    e = a["v_proj"]["kernel"].shape[1]
+    dh = e // heads
+    scale = dh ** -0.5
+    q = (L.linear(a["v_proj"], vn) * scale).reshape(-1, heads, dh)
+    k = L.linear(a["l_proj"], ln).reshape(-1, heads, dh)
+    vv = L.linear(a["values_v_proj"], vn).reshape(-1, heads, dh)
+    vl = L.linear(a["values_l_proj"], ln).reshape(-1, heads, dh)
+
+    logits = jnp.einsum("nhd,mhd->hnm", q, k,
+                        preferred_element_type=jnp.float32)  # (H, Nv, Nl)
+    neg = jnp.float32(-1e30)
+    # image -> text attention: mask padded text keys
+    lg_v = jnp.where(text_pad_mask[None, None, :], neg, logits)
+    attn_v = jax.nn.softmax(lg_v, axis=-1)
+    # text -> image attention: no image padding at inference
+    attn_l = jax.nn.softmax(logits.transpose(0, 2, 1), axis=-1)
+
+    dv = jnp.einsum("hnm,mhd->nhd", attn_v.astype(vl.dtype), vl) \
+        .reshape(-1, e)
+    dl = jnp.einsum("hmn,nhd->mhd", attn_l.astype(vv.dtype), vv) \
+        .reshape(-1, e)
+    dv = L.linear(a["out_v_proj"], dv)
+    dl = L.linear(a["out_l_proj"], dl)
+    return vn + p["gamma_v"] * dv, ln + p["gamma_l"] * dl
+
+
+def _text_enhancer(p, txt, pos_text, heads, block_mask):
+    """vanilla TransformerEncoderLayer: q=k=txt+pos, v=txt, post-LN."""
+    q = txt + pos_text
+    a = _mha(p["self_attn"], q, q, txt, heads, mask=block_mask[None, None])
+    txt = L.layer_norm(p["norm1"], txt + a)
+    ff = L.linear(p["linear2"], jax.nn.relu(L.linear(p["linear1"], txt)))
+    return L.layer_norm(p["norm2"], txt + ff)
+
+
+def _enc_image_layer(p, img, pos, ref_pts, shapes, heads, points):
+    sa = deform_attn(p["self_attn"], img + pos, ref_pts, img, shapes,
+                     heads=heads, points=points)
+    img = L.layer_norm(p["norm1"], img + sa)
+    ff = L.linear(p["linear2"], jax.nn.relu(L.linear(p["linear1"], img)))
+    return L.layer_norm(p["norm2"], img + ff)
+
+
+def _gen_proposals(memory, shapes):
+    """gen_encoder_output_proposals: per-level center grids with a
+    0.05*2^lvl size prior; proposals to inverse-sigmoid space with inf at
+    invalid (border) positions, memory zeroed there."""
+    props = []
+    for lvl, (h, w) in enumerate(shapes):
+        ys = (np.arange(h, dtype=np.float64) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float64) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        wh = np.full((h, w, 2), 0.05 * (2.0 ** lvl))
+        props.append(np.concatenate(
+            [gx[..., None], gy[..., None], wh], -1).reshape(-1, 4))
+    props = jnp.asarray(np.concatenate(props, 0), jnp.float32)
+    valid = jnp.all((props > 0.01) & (props < 0.99), axis=-1)
+    unsig = jnp.log(props / (1 - props))
+    unsig = jnp.where(valid[:, None], unsig, jnp.inf)
+    mem = jnp.where(valid[:, None], memory, 0)
+    return mem, unsig
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def dino_forward(params, cfg: DINOConfig, pixels, text_ids, text_mask):
-    """pixels (1, H, W, 3) normalized; text_ids/mask (1, T).
+def dino_forward(params, cfg: DINOConfig, pixels, text_ids, text_mask,
+                 text_self_mask=None, position_ids=None):
+    """pixels (1, H, W, 3) ImageNet-normalized; text_ids/text_mask (1, T);
+    text_self_mask (1, T, T) block-diagonal phrase mask; position_ids
+    (1, T) per-phrase positions (host-compute via generate_text_masks).
 
-    Returns dict(logits (Q, T), boxes (Q, 4) normalized cxcywh)."""
+    Returns dict(logits (Q, T) pre-sigmoid contrastive scores,
+    boxes (Q, 4) normalized cxcywh)."""
     d = cfg.hidden_dim
+    tmask = text_mask[0]                                     # (T,) real
+    if text_self_mask is None:
+        text_self_mask = (text_mask[:, None, :]
+                          & text_mask[:, :, None])
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(
+            jnp.arange(text_ids.shape[1]), text_ids.shape)
 
-    # text
-    txt = bert_apply(params["bert"], cfg.bert, text_ids, text_mask)[0]
+    # text: BERT with per-phrase masks/positions, then feat_map
+    txt = bert_apply(params["bert"], cfg.bert, text_ids, text_self_mask,
+                     position_ids=position_ids)[0]
     txt = L.linear(params["feat_map"], txt)                  # (T, D)
-    tmask = text_mask[0]                                     # (T,)
+    block_mask = text_self_mask[0]                           # (T, T)
+    pad_mask = ~tmask                                        # True = pad
 
-    # image pyramid
+    # image pyramid: swin stages -> input_proj (conv + GroupNorm)
     swin_feats = SW.apply(params["backbone"], cfg.swin, pixels)
     feats = [swin_feats[f"swin{i}"] for i in cfg.return_interm_indices]
-    srcs = [L.conv2d(params["input_proj"][str(i)], f, padding=0)
+
+    def proj(p, f, *, stride=1, padding=0):
+        y = L.conv2d(p["conv"], f, stride=stride, padding=padding)
+        return L.group_norm(p["norm"], y, num_groups=cfg.input_proj_groups)
+
+    srcs = [proj(params["input_proj"][str(i)], f)
             for i, f in enumerate(feats)]
-    extra = L.conv2d(params["input_proj"][str(len(feats))], feats[-1],
-                     stride=2, padding=[(1, 1), (1, 1)])
-    srcs.append(extra)
+    srcs.append(proj(params["input_proj"][str(len(feats))], feats[-1],
+                     stride=2, padding=[(1, 1), (1, 1)]))
 
     shapes = [(s.shape[1], s.shape[2]) for s in srcs]
-    flat = jnp.concatenate(
-        [s[0].reshape(-1, d) + params["level_embed"][i][None]
-         for i, s in enumerate(srcs)], axis=0)               # (sumHW, D)
-    pos = _sine_pos_2d(shapes, d, cfg.pe_temperature)
+    flat = jnp.concatenate([s[0].reshape(-1, d) for s in srcs], axis=0)
+    tp = params["transformer"]
+    # level_embed rides the positional encoding (official: lvl_pos_embed =
+    # pos + level_embed[lvl]), features stay raw
+    pos = _sine_pos_hw(shapes, d, cfg.pe_temperature)
+    pos = pos + jnp.concatenate(
+        [jnp.broadcast_to(tp["level_embed"][i][None], (h * w, d))
+         for i, (h, w) in enumerate(shapes)], axis=0)
+    pos = pos.astype(flat.dtype)
 
     # per-token reference points: own normalized center at every level
     centers = []
     for h, w in shapes:
-        ys = (jnp.arange(h) + 0.5) / h
-        xs = (jnp.arange(w) + 0.5) / w
-        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-        centers.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1))
-    centers = jnp.concatenate(centers, axis=0)               # (sumHW, 2)
+        ys = (np.arange(h, dtype=np.float64) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float64) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        centers.append(np.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+    centers = jnp.asarray(np.concatenate(centers, axis=0), jnp.float32)
     ref_pts = jnp.broadcast_to(centers[:, None],
                                (centers.shape[0], len(shapes), 2))
 
-    # encoder: deformable img self-attn + text enhancer + fusion
-    img = flat
-    key_mask = tmask[None, None, None, :]
-    for i in range(cfg.enc_layers):
-        lp = params["encoder"][str(i)]
-        # bi-direction fusion (image<->text cross-attention)
-        i2t = _mha(lp["i2t_attn"], img, txt, cfg.nheads, mask=key_mask)
-        t2i = _mha(lp["t2i_attn"], txt, img, cfg.nheads)
-        img = L.layer_norm(lp["fusion_norm_img"], img + i2t)
-        txt = L.layer_norm(lp["fusion_norm_txt"], txt + t2i)
-        # text enhancer
-        te = _mha(lp["text_attn"], txt, txt, cfg.nheads, mask=key_mask)
-        txt = L.layer_norm(lp["text_norm"], txt + te)
-        txt = _ffn(lp["text_ffn"], txt)
-        # deformable image self-attention
-        sa = deform_attn(lp["self_attn"], img + pos, ref_pts, img, shapes,
-                         heads=cfg.nheads, points=cfg.n_points)
-        img = L.layer_norm(lp["self_norm"], img + sa)
-        img = _ffn(lp["ffn"], img)
+    pos_text = _sine_embed_1d(position_ids[0], d).astype(txt.dtype)
 
-    # language-guided query selection (two_stage 'standard')
-    mem = L.layer_norm(params["enc_output_norm"],
-                       L.linear(params["enc_output"], img))
-    cls_all = mem @ txt.T                                    # (sumHW, T)
-    cls_all = jnp.where(tmask[None], cls_all, -1e4)
+    # encoder: per layer, fusion -> text enhancer -> image deformable
+    img = flat
+    enc = tp["encoder"]
+    for i in range(cfg.enc_layers):
+        img, txt = _bi_attention(enc["fusion_layers"][str(i)], img, txt,
+                                 cfg.fusion_heads, pad_mask)
+        txt = _text_enhancer(enc["text_layers"][str(i)], txt, pos_text,
+                             cfg.text_heads, block_mask)
+        img = _enc_image_layer(enc["layers"][str(i)], img, pos, ref_pts,
+                               shapes, cfg.nheads, cfg.n_points)
+
+    # two-stage 'standard' language-guided query selection
+    mem, proposals_unsig = _gen_proposals(img, shapes)
+    mem = L.layer_norm(tp["enc_output_norm"],
+                       L.linear(tp["enc_output"], mem))
+    cls_all = (mem @ txt.T).astype(jnp.float32)              # (sumHW, T)
+    cls_all = jnp.where(tmask[None], cls_all, -jnp.inf)
     sel_scores = jnp.max(cls_all, axis=-1)
     q = cfg.num_queries
     _, top_idx = jax.lax.top_k(sel_scores, q)
-    # initial proposals: selected token centers with a size prior, refined
-    # by the (shared) box head in inverse-sigmoid space
-    proposals = jnp.concatenate([centers[top_idx],
-                                 jnp.full((q, 2), 0.1)], axis=-1)
-    ref_boxes = jax.nn.sigmoid(_bbox_mlp(params["bbox_embed"], mem[top_idx])
-                               + _inverse_sigmoid(proposals))
-    tgt = params["tgt_embed"]                                # (Q, D)
+    ref_unsig = (_bbox_mlp(tp["enc_out_bbox_embed"], mem)
+                 + proposals_unsig)[top_idx]
+    boxes = jax.nn.sigmoid(ref_unsig)                        # (Q, 4)
+    x = tp["tgt_embed"]["weight"]                            # (Q, D)
 
     # decoder
-    x = tgt
-    boxes = ref_boxes
+    dec = tp["decoder"]
+    key_mask = tmask[None, None, None, :]
     for i in range(cfg.dec_layers):
-        lp = params["decoder"][str(i)]
-        query_sine = _box_sine_embed(boxes, d)
-        qpos = L.linear(params["ref_point_head"]["1"], jax.nn.relu(
-            L.linear(params["ref_point_head"]["0"], query_sine)))
-        sa = _mha(lp["self_attn"], x + qpos, x + qpos, cfg.nheads)
-        x = L.layer_norm(lp["self_norm"], x + sa)
-        tc = _mha(lp["text_cross"], x, txt, cfg.nheads, mask=key_mask)
-        x = L.layer_norm(lp["text_norm"], x + tc)
-        refs = jnp.broadcast_to(boxes[:, None, :2],
-                                (q, len(shapes), 2))
+        lp = dec["layers"][str(i)]
+        query_sine = _box_sine_embed(boxes, d).astype(x.dtype)
+        rph = dec["ref_point_head"]["layers"]
+        qpos = L.linear(rph["1"], jax.nn.relu(L.linear(rph["0"],
+                                                       query_sine)))
+        sa = _mha(lp["self_attn"], x + qpos, x + qpos, x, cfg.nheads)
+        x = L.layer_norm(lp["norm2"], x + sa)
+        tc = _mha(lp["ca_text"], x + qpos, txt, txt, cfg.nheads,
+                  mask=key_mask)
+        x = L.layer_norm(lp["catext_norm"], x + tc)
+        refs = jnp.broadcast_to(boxes[:, None], (q, len(shapes), 4))
         ca = deform_attn(lp["cross_attn"], x + qpos, refs, img, shapes,
                          heads=cfg.nheads, points=cfg.n_points)
-        x = L.layer_norm(lp["cross_norm"], x + ca)
-        x = _ffn(lp["ffn"], x)
-        # iterative box refinement
+        x = L.layer_norm(lp["norm1"], x + ca)
+        ff = L.linear(lp["linear2"],
+                      jax.nn.relu(L.linear(lp["linear1"], x)))
+        x = L.layer_norm(lp["norm3"], x + ff)
+        boxes_in = boxes
+        # iterative refinement on the RAW decoder state (next layer's refs)
         boxes = jax.nn.sigmoid(_bbox_mlp(params["bbox_embed"], x)
                                + _inverse_sigmoid(boxes))
 
-    logits = x @ txt.T                                       # (Q, T)
-    logits = jnp.where(tmask[None], logits, -1e4)
-    return {"logits": logits, "boxes": boxes}
+    # final heads on the LayerNormed state with the layer-INPUT reference
+    # (GroundingDINO recomputes outputs_coord from hs + reference[:-1])
+    hs = L.layer_norm(dec["norm"], x)
+    out_boxes = jax.nn.sigmoid(_bbox_mlp(params["bbox_embed"], hs)
+                               + _inverse_sigmoid(boxes_in))
+    logits = (hs @ txt.T).astype(jnp.float32)                # (Q, T)
+    logits = jnp.where(tmask[None], logits, -jnp.inf)
+    return {"logits": logits, "boxes": out_boxes}
 
 
 # ---------------------------------------------------------------------------
@@ -476,6 +762,9 @@ def dino_forward(params, cfg: DINOConfig, pixels, text_ids, text_mask):
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# bert-base-uncased ids for [CLS], [SEP], '.', '?' (bertwarper special list)
+BERT_SPECIAL_IDS = (101, 102, 1012, 1029)
+
 
 class GroundingDINODetector:
     """detect(image, caption) -> (boxes xyxy pixels, scores, phrases),
@@ -483,7 +772,8 @@ class GroundingDINODetector:
 
     def __init__(self, params, cfg: DINOConfig, tokenizer, *,
                  box_threshold: float = 0.25, text_threshold: float = 0.25,
-                 short_side: int = 800, max_side: int = 1333):
+                 short_side: int = 800, max_side: int = 1333,
+                 special_ids: Optional[Sequence[int]] = None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -491,8 +781,14 @@ class GroundingDINODetector:
         self.text_threshold = text_threshold
         self.short_side = short_side
         self.max_side = max_side
-        self._fwd = jax.jit(lambda p, x, ids, m: dino_forward(
-            p, cfg, x, ids, m))
+        if special_ids is None:
+            vocab = getattr(tokenizer, "vocab", {})
+            special_ids = [vocab[t] for t in ("[CLS]", "[SEP]", ".", "?")
+                           if t in vocab] or list(BERT_SPECIAL_IDS)
+        self.special_ids = tuple(special_ids)
+        self._fwd = jax.jit(
+            lambda p, x, ids, m, sm, pid: dino_forward(p, cfg, x, ids, m,
+                                                       sm, pid))
 
     def __call__(self, image: np.ndarray, caption: str):
         from PIL import Image
@@ -501,17 +797,24 @@ class GroundingDINODetector:
             caption = caption + "."
         h, w = image.shape[:2]
         scale = min(self.short_side / min(h, w), self.max_side / max(h, w))
-        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        # round to multiples of 32 (the backbone's total stride): static
+        # shape buckets keep the number of distinct XLA compilations small
+        nh = max(32, int(round(h * scale / 32)) * 32)
+        nw = max(32, int(round(w * scale / 32)) * 32)
         px = np.asarray(Image.fromarray(image).resize(
             (nw, nh), Image.BILINEAR), np.float32) / 255.0
         px = (px - IMAGENET_MEAN) / IMAGENET_STD
 
         t = self.cfg.max_text_len
         ids, mask, tokens = self.tokenizer.encode_padded(caption, t)
+        self_mask, pos_ids = generate_text_masks(ids, self.special_ids)
         out = jax.device_get(self._fwd(
             self.params, px[None], jnp.asarray(ids)[None],
-            jnp.asarray(mask)[None]))
-        probs = 1.0 / (1.0 + np.exp(-out["logits"]))        # (Q, T)
+            jnp.asarray(mask)[None], jnp.asarray(self_mask)[None],
+            jnp.asarray(pos_ids)[None]))
+        logits = np.clip(np.nan_to_num(out["logits"], neginf=-80.0,
+                                       posinf=80.0), -80.0, 80.0)
+        probs = 1.0 / (1.0 + np.exp(-logits))                # (Q, T)
         scores = probs.max(axis=1)
         keep = scores > self.box_threshold
         boxes_n = out["boxes"][keep]
