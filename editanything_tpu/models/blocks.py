@@ -40,14 +40,17 @@ def init_resnet_block(key, in_ch, out_ch, temb_ch=None, dtype=jnp.float32):
     return p
 
 
-def resnet_block(params, x, temb=None, *, num_groups=32):
-    """GroupNorm-SiLU-Conv x2 with additive time embedding and skip."""
-    h = group_norm_silu(params["norm1"], x, num_groups=num_groups)
+def resnet_block(params, x, temb=None, *, num_groups=32, eps=1e-5):
+    """GroupNorm-SiLU-Conv x2 with additive time embedding and skip.
+
+    eps: 1e-5 in the UNet (GroupNorm32, openaimodel), 1e-6 in the VAE
+    (model.py:47 Normalize)."""
+    h = group_norm_silu(params["norm1"], x, num_groups=num_groups, eps=eps)
     h = L.conv2d(params["conv1"], h, padding=1)
     if temb is not None and "time_emb_proj" in params:
         t = L.linear(params["time_emb_proj"], L.silu(temb))
         h = h + t[:, None, None, :].astype(h.dtype)
-    h = group_norm_silu(params["norm2"], h, num_groups=num_groups)
+    h = group_norm_silu(params["norm2"], h, num_groups=num_groups, eps=eps)
     h = L.conv2d(params["conv2"], h, padding=1)
     if "conv_shortcut" in params:
         x = L.conv2d(params["conv_shortcut"], x, padding=0)
@@ -153,7 +156,8 @@ def spatial_transformer(params, x, context, *, heads, use_linear=False,
     """Flatten NHWC -> (B, H*W, C), run transformer blocks, residual add."""
     b, h, w, c = x.shape
     residual = x
-    hidden = L.group_norm(params["norm"], x, num_groups=num_groups)
+    # eps 1e-6: ldm/modules/attention.py:88-89 Normalize
+    hidden = L.group_norm(params["norm"], x, num_groups=num_groups, eps=1e-6)
     if use_linear:
         hidden = hidden.reshape(b, h * w, c)
         hidden = L.linear(params["proj_in"], hidden)
@@ -215,7 +219,9 @@ def init_vae_attention(key, channels, dtype=jnp.float32):
 def vae_attention(params, x, *, num_groups=32):
     b, h, w, c = x.shape
     residual = x
-    hidden = L.group_norm(params["group_norm"], x, num_groups=num_groups)
+    # eps 1e-6: ldm/modules/diffusionmodules/model.py:46-47 Normalize
+    hidden = L.group_norm(params["group_norm"], x, num_groups=num_groups,
+                          eps=1e-6)
     hidden = hidden.reshape(b, h * w, c)
     q = L.linear(params["to_q"], hidden)[:, None]
     k = L.linear(params["to_k"], hidden)[:, None]

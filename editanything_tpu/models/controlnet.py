@@ -86,16 +86,34 @@ def _hint_embedding(params, cond):
     return L.conv2d(emb["conv_out"], h, padding=1)
 
 
+def _resize_corners(img, h, w):
+    """Bilinear resize with align_corners=True semantics (torch
+    F.interpolate(..., align_corners=True)): output pixel i samples
+    source coordinate i*(in-1)/(out-1), corners map to corners.
+    img: (B, Hi, Wi) -> (B, h, w)."""
+    b, hi, wi = img.shape
+    if (hi, wi) == (h, w):
+        return img
+    sy = (h - 1) / (hi - 1) if hi > 1 else 1.0
+    sx = (w - 1) / (wi - 1) if wi > 1 else 1.0
+    return jax.image.scale_and_translate(
+        img, (b, h, w), (1, 2),
+        scale=jnp.asarray([sy, sx], jnp.float32),
+        translation=jnp.asarray([0.5 - 0.5 * sy, 0.5 - 0.5 * sx],
+                                jnp.float32),
+        method="linear", antialias=False)
+
+
 def _scale_residual(res, scale, scale_map):
     """Apply scalar and/or per-pixel conditioning scale to one residual.
 
-    scale_map: (B, Hm, Wm) image-space map, bilinearly resized to the
-    residual's spatial dims (ControlNetModel2.forward:785-802 semantics)."""
+    scale_map: (B, Hm, Wm) image-space map, bilinearly resized
+    (align_corners=True, matching the reference's F.interpolate call) to
+    the residual's spatial dims (ControlNetModel2.forward:785-802)."""
     out = res * jnp.asarray(scale, res.dtype)
     if scale_map is not None:
         b, h, w, _ = res.shape
-        m = jax.image.resize(scale_map.astype(jnp.float32), (b, h, w),
-                             method="bilinear")
+        m = _resize_corners(scale_map.astype(jnp.float32), h, w)
         out = out * m[..., None].astype(res.dtype)
     return out
 

@@ -109,14 +109,14 @@ def encode(params, cfg: VAEConfig, x) -> GaussianPosterior:
     for bi in range(len(cfg.block_out_channels)):
         blk = enc["down_blocks"][str(bi)]
         for li in range(cfg.layers_per_block):
-            h = B.resnet_block(blk["resnets"][str(li)], h, num_groups=g)
+            h = B.resnet_block(blk["resnets"][str(li)], h, num_groups=g, eps=1e-6)
         if "downsamplers" in blk:
             h = B.downsample(blk["downsamplers"]["0"], h)
     mid = enc["mid_block"]
-    h = B.resnet_block(mid["resnets"]["0"], h, num_groups=g)
+    h = B.resnet_block(mid["resnets"]["0"], h, num_groups=g, eps=1e-6)
     h = B.vae_attention(mid["attentions"]["0"], h, num_groups=g)
-    h = B.resnet_block(mid["resnets"]["1"], h, num_groups=g)
-    h = group_norm_silu(enc["conv_norm_out"], h, num_groups=g)
+    h = B.resnet_block(mid["resnets"]["1"], h, num_groups=g, eps=1e-6)
+    h = group_norm_silu(enc["conv_norm_out"], h, num_groups=g, eps=1e-6)
     h = L.conv2d(enc["conv_out"], h, padding=1)
     h = L.conv2d(params["quant_conv"], h, padding=0)
     mean, logvar = jnp.split(h.astype(jnp.float32), 2, axis=-1)
@@ -130,16 +130,16 @@ def decode(params, cfg: VAEConfig, z):
     h = L.conv2d(params["post_quant_conv"], z, padding=0)
     h = L.conv2d(dec["conv_in"], h, padding=1)
     mid = dec["mid_block"]
-    h = B.resnet_block(mid["resnets"]["0"], h, num_groups=g)
+    h = B.resnet_block(mid["resnets"]["0"], h, num_groups=g, eps=1e-6)
     h = B.vae_attention(mid["attentions"]["0"], h, num_groups=g)
-    h = B.resnet_block(mid["resnets"]["1"], h, num_groups=g)
+    h = B.resnet_block(mid["resnets"]["1"], h, num_groups=g, eps=1e-6)
     for bi in range(len(cfg.block_out_channels)):
         blk = dec["up_blocks"][str(bi)]
         for li in range(cfg.layers_per_block + 1):
-            h = B.resnet_block(blk["resnets"][str(li)], h, num_groups=g)
+            h = B.resnet_block(blk["resnets"][str(li)], h, num_groups=g, eps=1e-6)
         if "upsamplers" in blk:
             h = B.upsample(blk["upsamplers"]["0"], h)
-    h = group_norm_silu(dec["conv_norm_out"], h, num_groups=g)
+    h = group_norm_silu(dec["conv_norm_out"], h, num_groups=g, eps=1e-6)
     return L.conv2d(dec["conv_out"], h, padding=1)
 
 
