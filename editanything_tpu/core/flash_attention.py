@@ -10,12 +10,14 @@ Design
 - Shapes: q (B, H, N, D), k/v (B, H, M, D). D and N/M are zero-padded to
   lane/sublane multiples outside the kernel (XLA pads cheaply; the kernel sees
   aligned tiles only). Padded keys are masked with -inf logits.
-- Grid: (B*H, N/BLOCK_N). Each program holds one q tile in VMEM and streams
-  the kv sequence in BLOCK_M tiles via a fori_loop with the classic
-  (m, l, acc) online-softmax carry, all in fp32.
-- SD1.5/2.1 UNet self-attention (N = M = 4096 @ 64x64 latents, D = 40..160),
-  SAM ViT (N = 4096, D = 80) and the 1024^2 tile pass (N = 16384) all fit this
-  scheme; K/V tiles for one (batch, head) stay well under VMEM.
+- Grid: (B*H, N/BLOCK_N, M/BLOCK_M) with the kv dimension innermost. Each
+  program sees one q tile and ONE kv tile; the classic (m, l, acc)
+  online-softmax carry lives in fp32 VMEM scratch that persists across the
+  sequential kv grid steps. Pallas double-buffers the kv tile DMAs from HBM,
+  so VMEM use is O(block) regardless of sequence length — SD1.5/2.1 UNet
+  self-attention (N = M = 4096 @ 64x64 latents, D = 40..160), SAM ViT at any
+  detect resolution (N = 16384 @ 2048px) and the 1024^2+ tile passes all run
+  without a full-KV-in-VMEM cap.
 
 Dispatch falls back to the pure-XLA reference for tiny problems (cross-attn
 with M = 77), explicit masks, and non-TPU backends.
@@ -36,8 +38,12 @@ try:  # pltpu is importable on CPU too, but guard for safety
 except ImportError:  # pragma: no cover
     pltpu = None
 
-BLOCK_N = 256
-BLOCK_M = 256
+# Block defaults tuned on v5e: (512, 1024) reaches 28 TFLOP/s on the SD
+# 64x64-latent self-attention (vs 16 at (256, 256), 12 for XLA reference)
+# and 33 TFLOP/s at the 16384-token tile pass — near the chip's measured
+# ~39 TFLOP/s bf16 matmul ceiling. Small N/M clamp the blocks down anyway.
+BLOCK_N = 512
+BLOCK_M = 1024
 _NEG_INF = -1e30
 
 # Interpreter mode lets CPU tests exercise the kernel (tests/conftest.py sets
@@ -55,46 +61,53 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
-                  block_m: int):
-    """One q tile vs the full (padded) kv sequence for one (batch*head).
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, kv_len: int, block_m: int):
+    """One (q tile, kv tile) step; kv tiles arrive via the innermost grid dim.
 
     Matmuls run in the STORAGE dtype (bf16 in production) with fp32
     accumulation — upcasting inputs to fp32 would force multi-pass fp32
     MXU matmuls, measured ~3x slower end-to-end. Softmax statistics stay
-    fp32."""
+    fp32 in VMEM scratch that persists across the sequential kv steps."""
+    j = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0]                                      # (BN, D) storage dtype
-    m_pad = k_ref.shape[1]
-    num_kv_blocks = m_pad // block_m
-    bn, d = q.shape
+    k = k_ref[0]                                      # (BM, D)
+    v = v_ref[0]
+    bn = q.shape[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale        # (BN, BM) fp32
+    # mask out zero-padded keys
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, block_m), 1)
+    valid = (col + j * block_m) < kv_len
+    logits = jnp.where(valid, logits, _NEG_INF)
 
-    def body(j, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(j * block_m, block_m), :]
-        v = v_ref[0, pl.ds(j * block_m, block_m), :]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # (BN, BM) fp32
-        # mask out zero-padded keys
-        col = jax.lax.broadcasted_iota(jnp.int32, (bn, block_m), 1)
-        valid = (col + j * block_m) < kv_len
-        logits = jnp.where(valid, logits, _NEG_INF)
+    # scratch rows are lane-replicated; reduce back to a column on read
+    m_prev = jnp.max(m_scr[:], axis=-1, keepdims=True)       # (BN, 1)
+    l_prev = jnp.max(l_scr[:], axis=-1, keepdims=True)
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)                              # (BN, BM)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)          # (BN, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                              # (BN, BM)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
-
-    m0 = jnp.full((bn, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bn, 1), jnp.float32)
-    acc0 = jnp.zeros((bn, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(j == nkv - 1)
+    def _():
+        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_n", "block_m"))
@@ -119,19 +132,25 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
     kp = kp.reshape(b * h, m_pad, d_pad)
     vp = vp.reshape(b * h, m_pad, d_pad)
 
-    grid = (b * h, n_pad // block_n)
+    grid = (b * h, n_pad // block_n, m_pad // block_m)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_len=m,
                                block_m=block_m)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, m_pad, d_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, m_pad, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_n, d_pad), lambda i, j, kj: (i, j, 0)),
+            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
+            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_n, d_pad),
+                               lambda i, j, kj: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 128), jnp.float32),
+            pltpu.VMEM((block_n, 128), jnp.float32),
+            pltpu.VMEM((block_n, d_pad), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * m * d,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
@@ -143,63 +162,72 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
     return out[:, :, :n, :d]
 
 
-def _rel_pos_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+def _rel_pos_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
+                    m_scr, l_scr, acc_scr, *,
                     scale: float, img_w: int, rows_per_block: int):
     """Flash attention over an (h, w) key grid with SAM's DECOMPOSED
     relative-position bias folded in (no N^2 bias materialization).
 
-    Keys are streamed row-group-wise: one kv block covers `rows_per_block`
-    full image rows (block_m = r*img_w), so the bias for the block is
-    bias_h[q, row] (a per-row scalar column) + bias_w[q, :] (shared across
-    rows) — both tiny (N, h)/(N, w) tensors instead of the (N, N) matrix
-    the reference materializes (torch SAM add_decomposed_rel_pos)."""
+    Keys are streamed row-group-wise through the innermost grid dim: one kv
+    block covers `rows_per_block` full image rows (block_m = r*img_w), so
+    the bias for the block is bias_h[q, row] (a per-row scalar column) +
+    bias_w[q, :] (shared across rows) — both tiny (N, h)/(N, w) tensors
+    instead of the (N, N) matrix the reference materializes (torch SAM
+    add_decomposed_rel_pos). The (m, l, acc) carry persists in VMEM scratch
+    across the sequential kv steps, so any detect resolution fits."""
+    j = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
     q = q_ref[0]                                       # (BN, D)
     bh = bh_ref[0].astype(jnp.float32)                 # (BN, h_pad)
     bw = bw_ref[0].astype(jnp.float32)                 # (BN, w_pad)
-    m_pad = k_ref.shape[1]
-    block_m = rows_per_block * img_w
-    num_kv_blocks = m_pad // block_m
-    bn, d = q.shape
+    k = k_ref[0]                                       # (block_m, D)
+    v = v_ref[0]
 
-    def body(j, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(j * block_m, block_m), :]
-        v = v_ref[0, pl.ds(j * block_m, block_m), :]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (BN, block_m)
-        # decomposed bias for rows [j*r, (j+1)*r): the per-row scalar is
-        # extracted with a masked lane reduction (Mosaic can't dynamically
-        # slice the lane dim at unaligned offsets)
-        col = jax.lax.broadcasted_iota(jnp.int32, bh.shape, 1)
-        parts = []
-        for t in range(rows_per_block):
-            idx = j * rows_per_block + t
-            row_bias = jnp.sum(jnp.where(col == idx, bh, 0.0), axis=1,
-                               keepdims=True)              # (BN, 1)
-            parts.append(row_bias + bw[:, :img_w])
-        logits = logits + jnp.concatenate(parts, axis=1)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (BN, block_m)
+    # decomposed bias for rows [j*r, (j+1)*r): the per-row scalar is
+    # extracted with a masked lane reduction (Mosaic can't dynamically
+    # slice the lane dim at unaligned offsets)
+    col = jax.lax.broadcasted_iota(jnp.int32, bh.shape, 1)
+    parts = []
+    for t in range(rows_per_block):
+        idx = j * rows_per_block + t
+        row_bias = jnp.sum(jnp.where(col == idx, bh, 0.0), axis=1,
+                           keepdims=True)              # (BN, 1)
+        parts.append(row_bias + bw[:, :img_w])
+    logits = logits + jnp.concatenate(parts, axis=1)
 
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+    m_prev = jnp.max(m_scr[:], axis=-1, keepdims=True)
+    l_prev = jnp.max(l_scr[:], axis=-1, keepdims=True)
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    m0 = jnp.full((bn, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bn, 1), jnp.float32)
-    acc0 = jnp.zeros((bn, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(j == nkv - 1)
+    def _():
+        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
 
 
 def flash_attention_rel_pos(q, k, v, bias_h, bias_w, *, img_hw,
                             scale: Optional[float] = None,
-                            block_n: int = BLOCK_N):
+                            block_n: int = BLOCK_N,
+                            block_m_target: int = BLOCK_M):
     """Flash attention for SAM's global layers: q/k/v (B, H, N, D) over an
     N = h*w key grid, with decomposed rel-pos biases bias_h (B, H, N, h)
     and bias_w (B, H, N, w). Requires h*w == N exactly (global attention,
@@ -209,10 +237,14 @@ def flash_attention_rel_pos(q, k, v, bias_h, bias_w, *, img_hw,
     assert n == hh * ww and k.shape[2] == n
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    # kv rows per block: at least 128 lanes' worth of keys
-    r = max(1, -(-128 // ww))
+    # kv rows per block: aim for ~block_m_target keys (>= 128 lanes' worth)
+    # but cap at 8 rows — the per-row bias extraction is r unrolled masked
+    # reductions, which dominates beyond that (measured: r=16 is 3x slower
+    # than r=8 at the 64x64 grid; r=8 is the optimum at both 64 and 128)
+    r = max(1, min(hh, 8, block_m_target // ww), -(-128 // ww))
     while hh % r != 0:
         r -= 1
+    block_m = r * ww
     block_n = min(block_n, _round_up(n, 128))
     n_pad = _round_up(n, block_n)
     d_pad = _round_up(d, 128)
@@ -230,21 +262,27 @@ def flash_attention_rel_pos(q, k, v, bias_h, bias_w, *, img_hw,
     bwp = jnp.pad(bias_w, ((0, 0), (0, 0), (0, n_pad - n),
                            (0, w_pad - ww))).reshape(b * nh, n_pad, w_pad)
 
-    grid = (b * nh, n_pad // block_n)
+    grid = (b * nh, n_pad // block_n, n // block_m)
     kernel = functools.partial(_rel_pos_kernel, scale=scale, img_w=ww,
                                rows_per_block=r)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, n, d_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n, d_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_n, h_pad), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_n, w_pad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_n, d_pad), lambda i, j, kj: (i, j, 0)),
+            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
+            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
+            pl.BlockSpec((1, block_n, h_pad), lambda i, j, kj: (i, j, 0)),
+            pl.BlockSpec((1, block_n, w_pad), lambda i, j, kj: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_n, d_pad), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_n, d_pad),
+                               lambda i, j, kj: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * nh, n_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 128), jnp.float32),
+            pltpu.VMEM((block_n, 128), jnp.float32),
+            pltpu.VMEM((block_n, d_pad), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * nh * n * n * d,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
@@ -263,9 +301,8 @@ def _on_tpu() -> bool:
         return False
 
 
-# VMEM budget guard: full padded K+V for one (batch, head) must stream through
-# VMEM comfortably. Beyond this we let XLA's attention fusion handle it.
-_MAX_KV_BYTES = 8 * 1024 * 1024
+# kv streams block-wise from HBM, so VMEM use is O(block) regardless of
+# sequence length — no KV-size cap needed (was 8 MB before the 3-D grid).
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -297,10 +334,8 @@ def dispatch(q, k, v, *, scale: Optional[float] = None, mask=None):
     from editanything_tpu.core.layers import attention_reference
 
     n, d = q.shape[-2], q.shape[-1]
-    m = k.shape[-2]
-    kv_bytes = 2 * _round_up(m, 128) * _round_up(d, 128) * 4
     if (_DISABLED or mask is not None or not (_on_tpu() or _INTERPRET)
-            or n < 128 or d < _MIN_HEAD_DIM or kv_bytes > _MAX_KV_BYTES):
+            or n < 128 or d < _MIN_HEAD_DIM):
         return attention_reference(q, k, v, scale=scale, mask=mask)
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])

@@ -199,11 +199,11 @@ def _attention_with_rel_pos_flash(p, x, num_heads):
 def _use_rel_pos_flash(h, w):
     from editanything_tpu.core.flash_attention import (_DISABLED, _INTERPRET,
                                                        _on_tpu)
-    # VMEM guard: full k+v (double-buffered bf16, 128-lane padded) per
-    # (batch, head) must stay under the ~16MB scoped limit
-    kv_bytes = 2 * 2 * 2 * h * w * 128
+    # kv streams block-wise through the kernel's innermost grid dim, so any
+    # detect resolution fits VMEM (2048px -> 128x128 grid, reference UI
+    # slider max, /root/reference/editany_demo.py:249-255)
     return (not _DISABLED and (_on_tpu() or _INTERPRET)
-            and 1024 <= h * w and h == w and kv_bytes <= 12 * 1024 * 1024)
+            and 1024 <= h * w and h == w)
 
 
 def _window_partition(x, win):
