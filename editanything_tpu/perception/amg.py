@@ -118,6 +118,39 @@ def greedy_nms(boxes, scores, valid, iou_thresh):
     return keep & valid
 
 
+def select_candidates(logits, iou, amg_cfg: AMGConfig):
+    """The full post-decode selection chain on (C, H, W) candidate logits +
+    (C,) predicted-IoU scores: quality filters -> greedy box NMS -> fixed
+    max_masks slot compaction in candidate order (the reference paints masks
+    in generation order, editany_lora.py:433-440). Pure function so the
+    numpy-oracle equivalence test can drive it with arbitrary inputs."""
+    c = logits.shape[0]
+    stability, areas, boxes = _mask_stats(
+        logits, amg_cfg.mask_threshold, amg_cfg.stability_score_offset)
+    valid = (iou > amg_cfg.pred_iou_thresh) & \
+            (stability > amg_cfg.stability_score_thresh) & (areas > 0)
+    keep = greedy_nms(boxes, iou, valid, amg_cfg.box_nms_thresh)
+
+    # compact to max_masks fixed slots, preserving candidate order
+    slot_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep, slot_rank, c)          # c = overflow bin
+    k = amg_cfg.max_masks
+    # build via scatter: out[slot[i]] = i for kept i < k
+    src = jnp.arange(c, dtype=jnp.int32)
+    sel = jnp.full((k + 1,), -1, jnp.int32)
+    sel = sel.at[jnp.clip(slot, 0, k)].set(src, mode="drop")
+    sel = sel[:k]
+    slot_valid = sel >= 0
+    sel_safe = jnp.maximum(sel, 0)
+    return {
+        "logits": logits[sel_safe],
+        "valid": slot_valid,
+        "scores": jnp.where(slot_valid, iou[sel_safe], 0.0),
+        "boxes": jnp.where(slot_valid[:, None], boxes[sel_safe], 0.0),
+        "areas": jnp.where(slot_valid, areas[sel_safe], 0),
+    }
+
+
 def build_amg(sam_cfg: SAM.SAMConfig, amg_cfg: AMGConfig):
     """Returns jittable fns (encode_fn, generate_fn):
 
@@ -154,44 +187,14 @@ def build_amg(sam_cfg: SAM.SAMConfig, amg_cfg: AMGConfig):
 
         def body(_, pts):
             m, i = decode_batch(params, embedding, image_pe, pts)
-            m = m.reshape(-1, m.shape[-2], m.shape[-1])
-            i = i.reshape(-1)
-            stability, area, boxes = _mask_stats(
-                m, amg_cfg.mask_threshold, amg_cfg.stability_score_offset)
-            return _, (m, i, stability, area, boxes)
+            return _, (m.reshape(-1, m.shape[-2], m.shape[-1]),
+                       i.reshape(-1))
 
-        _, (logits, iou, stability, areas, boxes) = jax.lax.scan(
-            body, None, batches)
+        _, (logits, iou) = jax.lax.scan(body, None, batches)
         c = n * 3
         logits = logits.reshape(c, logits.shape[-2], logits.shape[-1])
         iou = iou.reshape(c)
-        stability = stability.reshape(c)
-        areas = areas.reshape(c)
-        boxes = boxes.reshape(c, 4)
-
-        valid = (iou > amg_cfg.pred_iou_thresh) & \
-                (stability > amg_cfg.stability_score_thresh) & (areas > 0)
-        keep = greedy_nms(boxes, iou, valid, amg_cfg.box_nms_thresh)
-
-        # compact to max_masks fixed slots, preserving candidate order
-        # (the reference paints masks in generation order, :433-440)
-        slot_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        slot = jnp.where(keep, slot_rank, c)          # c = overflow bin
-        k = amg_cfg.max_masks
-        # build via scatter: out[slot[i]] = i for kept i < k
-        src = jnp.arange(c, dtype=jnp.int32)
-        sel = jnp.full((k + 1,), -1, jnp.int32)
-        sel = sel.at[jnp.clip(slot, 0, k)].set(src, mode="drop")
-        sel = sel[:k]
-        slot_valid = sel >= 0
-        sel_safe = jnp.maximum(sel, 0)
-        return {
-            "logits": logits[sel_safe],
-            "valid": slot_valid,
-            "scores": jnp.where(slot_valid, iou[sel_safe], 0.0),
-            "boxes": jnp.where(slot_valid[:, None], boxes[sel_safe], 0.0),
-            "areas": jnp.where(slot_valid, areas[sel_safe], 0),
-        }
+        return select_candidates(logits, iou, amg_cfg)
 
     return encode_fn, generate_fn
 

@@ -177,3 +177,116 @@ def test_rel_pos_flash_matches_materializing_path():
     out = SAM._attention_with_rel_pos_flash(p, x, cfg.num_heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_select_candidates_matches_numpy_oracle():
+    """Full AMG post-decode chain (stability/area/box stats -> quality
+    filters -> greedy NMS -> slot compaction) vs an independent numpy
+    reimplementation on random logits."""
+    rng = np.random.default_rng(7)
+    c, h, w = 48, 16, 16
+    # blobby random logits so boxes/areas/stability vary
+    base = rng.normal(0, 1, (c, 1, 1))
+    logits = (rng.normal(0, 1, (c, h, w)) * 2 + base).astype(np.float32)
+    iou = rng.uniform(0.5, 1.0, c).astype(np.float32)
+    cfg = AMG.AMGConfig(pred_iou_thresh=0.7, stability_score_thresh=0.5,
+                        stability_score_offset=1.0, box_nms_thresh=0.6,
+                        max_masks=8)
+
+    got = jax.jit(lambda l, i: AMG.select_candidates(l, i, cfg))(
+        jnp.asarray(logits), jnp.asarray(iou))
+
+    # ---- numpy oracle ----
+    hi = (logits > cfg.mask_threshold + cfg.stability_score_offset) \
+        .sum(axis=(1, 2))
+    lo = (logits > cfg.mask_threshold - cfg.stability_score_offset) \
+        .sum(axis=(1, 2))
+    stability = hi / np.maximum(lo, 1)
+    mask = logits > cfg.mask_threshold
+    area = mask.sum(axis=(1, 2))
+    boxes = np.zeros((c, 4), np.float32)
+    for i in range(c):
+        ys, xs = np.nonzero(mask[i])
+        if len(ys):
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        else:
+            boxes[i] = [10 ** 6, 10 ** 6, 0, 0]   # matches _mask_stats empties
+    valid = (iou > cfg.pred_iou_thresh) & \
+            (stability > cfg.stability_score_thresh) & (area > 0)
+
+    def iou_xy(a, b):
+        x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+        x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+        u = max(a[2] - a[0], 0) * max(a[3] - a[1], 0) + \
+            max(b[2] - b[0], 0) * max(b[3] - b[1], 0) - inter
+        return inter / max(u, 1e-6)
+
+    order = np.argsort(-np.where(valid, iou, -np.inf), kind="stable")
+    alive = np.ones(c, bool)
+    keep = np.zeros(c, bool)
+    for i in order:
+        if not valid[i] or not alive[i]:
+            continue
+        keep[i] = True
+        for j in range(c):
+            if j != i and alive[j] and iou_xy(boxes[i], boxes[j]) > \
+                    cfg.box_nms_thresh:
+                alive[j] = False
+    kept_idx = [i for i in range(c) if keep[i]][:cfg.max_masks]
+
+    v = np.asarray(got["valid"])
+    assert v.sum() == len(kept_idx)
+    for slot, i in enumerate(kept_idx):
+        assert v[slot]
+        np.testing.assert_array_equal(np.asarray(got["logits"][slot]),
+                                      logits[i])
+        assert np.asarray(got["scores"][slot]) == pytest.approx(iou[i])
+        np.testing.assert_allclose(np.asarray(got["boxes"][slot]), boxes[i])
+        assert int(np.asarray(got["areas"][slot])) == area[i]
+    assert not v[len(kept_idx):].any()
+
+
+def test_select_candidates_overflow_and_empty():
+    cfg = AMG.AMGConfig(pred_iou_thresh=0.5, stability_score_thresh=-1.0,
+                        box_nms_thresh=0.99, max_masks=2)
+    # 5 disjoint valid masks -> only the first 2 slots (candidate order)
+    logits = np.full((5, 8, 8), -10.0, np.float32)
+    for i in range(5):
+        logits[i, i:i + 1, :] = 10.0
+    iou = np.full((5,), 0.9, np.float32)
+    out = AMG.select_candidates(jnp.asarray(logits), jnp.asarray(iou), cfg)
+    v = np.asarray(out["valid"])
+    assert v.tolist() == [True, True]
+    np.testing.assert_array_equal(np.asarray(out["logits"][0]), logits[0])
+    np.testing.assert_array_equal(np.asarray(out["logits"][1]), logits[1])
+    # all invalid -> no valid slots
+    out2 = AMG.select_candidates(jnp.asarray(logits),
+                                 jnp.asarray(iou * 0.0), cfg)
+    assert not np.asarray(out2["valid"]).any()
+
+
+def test_bitmatch_harness_smoke(tmp_path):
+    """tools/sam_bitmatch.py end-to-end with random weights: records masks,
+    and a self-diff against its own recording is a perfect bit-match."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        import sam_bitmatch as BM
+    finally:
+        sys.path.pop(0)
+    img = BM.synthetic_image(96, 80, seed=1)
+    assert img.shape == (96, 80, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(img, BM.synthetic_image(96, 80, seed=1))
+
+    params = SAM.init_sam(jax.random.PRNGKey(0), TINY)
+    amg_cfg = AMG.AMGConfig(points_per_side=4, points_per_batch=8,
+                            pred_iou_thresh=-10.0,
+                            stability_score_thresh=-1.0, max_masks=8)
+    ours = BM.run_amg(params, TINY, amg_cfg, img)
+    assert ours["masks"].ndim == 3 and ours["masks"].dtype == bool
+    assert ours["masks"].shape[1:] == (96, 80)
+    report = BM.diff_masks(ours, ours)
+    assert report["matched"] == report["ours"] == report["golden"]
+    assert report["bit_exact"] == report["matched"]
+    assert report["mean_iou"] == pytest.approx(1.0)
