@@ -50,7 +50,8 @@ def _build_bundle(spec_path: str):
     return load_bundle(
         unet_path=spec["unet"], vae_path=spec["vae"],
         text_path=spec["text"], tokenizer=tok,
-        controlnet_paths=spec.get("controlnets", {})), spec
+        controlnet_paths=spec.get("controlnets", {}),
+        safety_path=spec.get("safety")), spec
 
 
 def _build_editor(spec_path: str):

@@ -147,6 +147,19 @@ def clip_text_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
         dtype=dtype)
 
 
+def safety_checker_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
+    """StableDiffusionSafetyChecker state dict
+    (CompVis/stable-diffusion-safety-checker) -> models/safety.py tree:
+    vision_model.* CLIP tower + visual_projection + concept/special-care
+    embeds and thresholds (all bare buffers)."""
+    stripped = {k: v for k, v in sd.items()
+                if not k.endswith("position_ids")}
+    return state_dict_to_tree(
+        stripped, norm_weight_name="scale",
+        embedding_modules=("position_embedding",),
+        dtype=dtype)
+
+
 def sam_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
     """Official SAM checkpoint (sam_vit_*.pth) -> models/sam.py tree.
 

@@ -40,6 +40,17 @@ class ModelBundle:
     controlnets: Dict[str, Tuple[C.ControlNetConfig, Any]] = \
         dataclasses.field(default_factory=dict)
     dtype: Any = jnp.bfloat16
+    # optional models.safety.SafetyChecker; None matches the reference's own
+    # operating point (safety_checker=None at editany_lora.py:369-411)
+    safety: Any = None
+
+    def run_safety(self, images_uint8):
+        """uint8 images -> (possibly blacked-out images, nsfw flags);
+        pass-through when no checker is loaded (run_safety_checker,
+        utils/stable_diffusion_controlnet.py:643-653)."""
+        if self.safety is None:
+            return images_uint8, None
+        return self.safety(images_uint8)
 
     def controlnet_cfgs(self, names) -> Tuple[C.ControlNetConfig, ...]:
         return tuple(self.controlnets[n][0] for n in names)
@@ -113,11 +124,22 @@ def place_on_mesh(bundle: ModelBundle, mesh) -> ModelBundle:
 def load_bundle(*, unet_path: str, vae_path: str, text_path: str,
                 tokenizer, controlnet_paths: Dict[str, str],
                 unet_cfg: Optional[C.UNetConfig] = None,
+                safety_path: Optional[str] = None,
                 dtype=jnp.bfloat16) -> ModelBundle:
     """Build a bundle from diffusers-layout safetensors checkpoints
     (the formats inventoried in SURVEY.md section 5 'Checkpoint / resume')."""
     from editanything_tpu.checkpoints import (
         load_torch_state_dict, diffusers_to_tree, clip_text_to_tree)
+
+    safety = None
+    if safety_path:
+        from editanything_tpu.checkpoints.convert import \
+            safety_checker_to_tree
+        from editanything_tpu.models.safety import (CLIPVisionConfig,
+                                                    SafetyChecker)
+        safety = SafetyChecker(
+            safety_checker_to_tree(load_torch_state_dict(safety_path)),
+            CLIPVisionConfig())
 
     ucfg = unet_cfg or C.sd15_unet()
     vcfg = C.VAEConfig()
@@ -133,4 +155,4 @@ def load_bundle(*, unet_path: str, vae_path: str, text_path: str,
         unet=diffusers_to_tree(load_torch_state_dict(unet_path), dtype=dtype),
         vae=diffusers_to_tree(load_torch_state_dict(vae_path), dtype=dtype),
         text=clip_text_to_tree(load_torch_state_dict(text_path), dtype=dtype),
-        tokenizer=tokenizer, controlnets=cns, dtype=dtype)
+        tokenizer=tokenizer, controlnets=cns, dtype=dtype, safety=safety)

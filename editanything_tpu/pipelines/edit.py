@@ -251,7 +251,7 @@ class EditPipeline(GenerationPipeline):
         out = program(params, latents, context, inputs)
         if return_latents:
             return jax.device_get(out)
-        return to_uint8(jax.device_get(out))
+        return self.bundle.run_safety(to_uint8(jax.device_get(out)))[0]
 
     # -- tile refinement ------------------------------------------------------
 

@@ -159,4 +159,4 @@ class GenerationPipeline:
             lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
             and x.shape[0] == num_samples else x, inputs)
         img = program(params, latents, context, inputs)
-        return to_uint8(jax.device_get(img))
+        return self.bundle.run_safety(to_uint8(jax.device_get(img)))[0]

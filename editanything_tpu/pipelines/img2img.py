@@ -92,7 +92,7 @@ class Img2ImgPipeline(GenerationPipeline):
                   "controlnets": b.controlnet_params(controls),
                   "vae": b.vae}
         out = program(params, latents, context, inputs)
-        return to_uint8(jax.device_get(out))
+        return self.bundle.run_safety(to_uint8(jax.device_get(out)))[0]
 
     def _encode_latents(self, x):
         b = self.bundle
