@@ -82,7 +82,9 @@ def main():
         return V.decode_from_latents(params["vae"], vcfg,
                                      final.astype(dtype))
 
-    edit_jit = jax.jit(edit, donate_argnums=(1,))
+    # (no donation: initial latents are bf16, the sampler carry is fp32 —
+    # the buffer is never reusable and donating only triggered warnings)
+    edit_jit = jax.jit(edit)
 
     b = 1
     params = {"unet": unet_params, "controlnets": [cn_sam, cn_inp],

@@ -57,7 +57,11 @@ class ProgramCache:
                 return V.decode_from_latents(
                     params["vae"], vcfg, final.astype(latents.dtype))
 
-            self._programs[key] = jax.jit(program, donate_argnums=(1,))
+            # no donation: the initial latents are bf16 but the sampler
+            # carry is fp32, so the buffer is never reusable — donating
+            # only produced XLA "donated buffers were not usable" warnings
+            # for a 32 KB tensor.
+            self._programs[key] = jax.jit(program)
         return self._programs[key]
 
 

@@ -153,6 +153,19 @@ class TestEdit:
         assert len(refined) == 1
         assert refined[0].shape == (128, 128, 3)
 
+    def test_tile_refine_batched_per_sample_conditions(self, bundle):
+        """All samples refine as ONE program; each sample is conditioned on
+        its own upscaled image, so distinct inputs give distinct outputs."""
+        pipe = EditPipeline(bundle, controls=("sam", "inpaint"))
+        rs = np.random.RandomState(1)
+        imgs = rs.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        refined = pipe.tile_refine(imgs, np.full((64, 64), 255, np.uint8),
+                                   "cat", refine_image_resolution=128,
+                                   num_steps=2, alignment_ratio=0.5)
+        assert len(refined) == 2
+        assert refined[0].shape == (128, 128, 3)
+        assert not np.array_equal(refined[0], refined[1])
+
 
 class TestSketch:
     def test_sketch_condition(self):
