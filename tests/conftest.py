@@ -28,3 +28,78 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # fp32 parity vs torch goldens: forbid low-precision matmul/conv passes.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers. The full suite takes ~40 min on this box (interpret-mode
+# Pallas + 8-device virtual mesh); `-m smoke` is a <2-min subset with at
+# least one broad test per subsystem:
+#     python -m pytest tests/ -m smoke -q
+# Everything not listed below is implicitly tier "full".
+# ---------------------------------------------------------------------------
+
+SMOKE = {
+    # samplers (pure scan math)
+    "test_samplers.py::test_ddim_tracks_exact_ode",
+    "test_samplers.py::test_unipc_tracks_exact_ode",
+    "test_samplers.py::test_unipc_scan_matches_eager",
+    "test_samplers.py::test_timestep_grids",
+    "test_samplers.py::test_add_noise_matches_q_sample_formula",
+    # core layers vs torch goldens + one flash-attention case
+    "test_core_layers.py::test_group_norm_matches_torch",
+    "test_core_layers.py::test_layer_norm_matches_torch",
+    "test_core_layers.py::test_conv2d_matches_torch",
+    "test_core_layers.py::test_attention_reference_matches_torch_sdpa",
+    "test_core_layers.py::test_geglu",
+    "test_core_layers.py::test_timestep_embedding_matches_diffusers_formula",
+    "test_core_layers.py::test_flash_attention_matches_reference[128-128-40]",
+    # tokenizers / prompts / image utils / config
+    "test_text_utils.py",                       # whole module (all fast)
+    # SAM perception math
+    "test_sam.py::test_window_partition_roundtrip",
+    "test_sam.py::test_point_labels_gate_embeddings",
+    "test_sam.py::test_nms_matches_numpy_reference",
+    "test_sam.py::test_select_candidates_matches_numpy_oracle",
+    "test_sam.py::test_select_candidates_overflow_and_empty",
+    "test_sam.py::test_encode_id_map_matches_show_anns_semantics",
+    # native RLE codec
+    "test_data.py::TestRLE::test_roundtrip_native",
+    "test_data.py::TestRLE::test_native_matches_numpy",
+    # models structure
+    "test_models.py::test_controlnet_zero_init_is_identity",
+    "test_models.py::test_clip_causal_masking",
+    "test_models.py::test_vae_roundtrip_shapes",
+    # checkpoints
+    "test_checkpoints.py::TestLoRA::test_merge_matches_reference_formula",
+    "test_checkpoints.py::TestLoRA::test_unknown_targets_skipped",
+    # reference-only control math
+    "test_refctrl.py::TestMath",
+    # detection stacks (fast unit math)
+    "test_swin.py::TestSwin::test_window_partition_roundtrip",
+    "test_swin.py::TestSwin::test_rel_pos_index_bounds",
+    "test_vlpart.py::TestDetectionOps::test_apply_deltas_shift_scale",
+    "test_vlpart.py::TestDetectionOps::test_roi_align_gradient_field",
+    "test_groundingdino.py::TestBertTokenizer::test_wordpiece_splits",
+    "test_groundingdino.py::TestDeformAttn::test_bilinear_sample_exact",
+    # safety head
+    "test_safety.py::TestSafetyChecker::test_blackout_semantics",
+    # one tiny end-to-end denoise program
+    "test_engine.py::test_basic_denoise_runs_and_jits",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "smoke: <2-min subsystem-coverage subset")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        rel = item.nodeid.replace("tests/", "", 1)
+        parts = {rel}
+        while "::" in rel:
+            rel = rel.rsplit("::", 1)[0]
+            parts.add(rel)
+        if parts & SMOKE:
+            item.add_marker(_pytest.mark.smoke)
