@@ -40,7 +40,7 @@ def main():
     from editanything_tpu.models import unet as U
     from editanything_tpu.models import controlnet as CN
     from editanything_tpu.models import vae as V
-    from editanything_tpu.perception import AMGConfig, build_amg, encode_id_map
+    from editanything_tpu.perception import AMGConfig, build_amg
     from editanything_tpu.samplers import make_schedule, make_timesteps
 
     dtype = jnp.bfloat16
@@ -65,11 +65,26 @@ def main():
     sam_params = jax.jit(
         lambda k: SAM.init_sam(k, sam_cfg, dtype))(ks[6])
     sam_encode, amg_generate = build_amg(sam_cfg, amg_cfg)
-    sam_encode = jax.jit(sam_encode)
-    amg_generate = jax.jit(amg_generate)
     from editanything_tpu.perception.amg import _grid_points
     grid = jnp.asarray(_grid_points(amg_cfg, 1024, 1024))
     sam_image = jax.random.normal(ks[7], (1, 1024, 1024, 3), dtype)
+
+    # the whole SAM phase (ViT-H encode -> AMG -> uint16 ID condition map)
+    # as ONE compiled program: no inter-program dispatch gaps
+    @jax.jit
+    def sam_phase(params, image):
+        emb = sam_encode(params, image)
+        masks = amg_generate(params, emb, grid)
+        up = jax.image.resize(masks["logits"],
+                              (masks["logits"].shape[0], 512, 512),
+                              method="bilinear")
+        m = (up > 0.0) & masks["valid"][:, None, None]
+        ids = jnp.arange(1, m.shape[0] + 1, dtype=jnp.uint16)[:, None, None]
+        id_map = jnp.max(jnp.where(m, ids, 0), axis=0)
+        r = (id_map % 256).astype(dtype)
+        g = (id_map // 256).astype(dtype)
+        cond = jnp.stack([r, g, jnp.zeros_like(r)], axis=-1) / 255.0
+        return jnp.broadcast_to(cond[None], (1, 512, 512, 3))
 
     # --- edit core
     dcfg = DenoiseConfig(unet=ucfg, controlnets=(cn_cfg, cn_cfg),
@@ -95,13 +110,8 @@ def main():
     inpaint_cond = jax.random.uniform(ks[7], (b, 512, 512, 3), dtype)
 
     def run_once():
-        # SAM mask generation -> ID condition map
-        emb = sam_encode(sam_params, sam_image)
-        masks = amg_generate(sam_params, emb, grid)
-        cond_map = encode_id_map(masks["logits"], masks["valid"],
-                                 out_hw=(512, 512))
-        sam_cond = (cond_map.astype(dtype) / 255.0)[None]
-        sam_cond = jnp.broadcast_to(sam_cond, (b, 512, 512, 3))
+        # SAM mask generation -> ID condition map (one compiled program)
+        sam_cond = sam_phase(sam_params, sam_image)
         inputs = {
             "controlnet_conds": [sam_cond, inpaint_cond],
             "controlnet_scales": [0.5, 1.0],

@@ -58,7 +58,7 @@ def bench_edit_throughput(batch: int, steps: int):
         return V.decode_from_latents(params["vae"], vcfg,
                                      final.astype(dtype))
 
-    fn = jax.jit(edit, donate_argnums=(1,))
+    fn = jax.jit(edit)  # no donation: bf16 in, fp32 carry
     b = batch
     context = {"cond": jax.random.normal(ks[4], (b, 77, 768), dtype),
                "uncond": jax.random.normal(ks[5], (b, 77, 768), dtype)}

@@ -97,22 +97,32 @@ def _box_iou(boxes):
 def greedy_nms(boxes, scores, valid, iou_thresh):
     """Exact greedy NMS on fixed-size inputs. Returns keep flags (N,) bool.
 
-    Score-sorted sequential suppression as a lax.scan over candidates with
-    vectorized suppression per step (matches torchvision.ops.nms order)."""
+    Score-sorted sequential suppression with vectorized suppression per
+    step (matches torchvision.ops.nms order). The loop is a
+    `lax.while_loop` bounded by the number of VALID candidates — invalid
+    ones sort to the back and can never be kept, so stopping there is
+    exact. In the AMG the quality filters typically pass a few hundred of
+    3072 candidates, cutting the sequential chain ~10x."""
     n = boxes.shape[0]
     order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
     iou = _box_iou(boxes)[order][:, order]           # sorted IoU matrix
     valid_s = valid[order]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    def body(alive, i):
+    def cond(carry):
+        i, _, _ = carry
+        return i < n_valid
+
+    def body(carry):
+        i, alive, kept = carry
         is_kept = alive[i] & valid_s[i]
         suppress = is_kept & (iou[i] > iou_thresh)
         suppress = suppress.at[i].set(False)
-        alive = alive & ~suppress
-        return alive, is_kept
+        return i + 1, alive & ~suppress, kept.at[i].set(is_kept)
 
-    alive0 = jnp.ones((n,), bool)
-    _, kept_sorted = jax.lax.scan(body, alive0, jnp.arange(n))
+    _, _, kept_sorted = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), jnp.ones((n,), bool),
+                     jnp.zeros((n,), bool)))
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(kept_sorted)
     return keep & valid
