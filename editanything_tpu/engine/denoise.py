@@ -431,7 +431,9 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             x, _ = jax.lax.scan(body, latents.astype(jnp.float32),
                                 jnp.arange(n))
             return final_paste(x, inputs).astype(latents.dtype)
-    elif cfg.sampler == "dpm":
+    elif cfg.sampler in ("dpm", "dpm3"):
+        dpm_order = 3 if cfg.sampler == "dpm3" else 2
+
         def run(params, latents, context, inputs):
             hoisted = precompute_hints(params, inputs, latents.dtype)
             state = dpm_mod.dpm_init(latents)
@@ -440,7 +442,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 t = ts[i]
                 out = model_output(params, state.sample.astype(latents.dtype),
                                    t, context, inputs, hoisted)
-                state, prev = dpm_mod.dpm_step(schedule, state, out, ts, i)
+                state, prev = dpm_mod.dpm_step(schedule, state, out, ts, i,
+                                               order=dpm_order)
                 prev = blend_outside_mask(prev, i, inputs)
                 state = state._replace(sample=prev)
                 return state, ()

@@ -1,16 +1,24 @@
-"""DPM-Solver++ (2M multistep) — pure scan math.
+"""DPM-Solver++ multistep (orders 1-3) — pure scan math.
 
 Behavioral spec: /root/reference/ldm/models/diffusion/dpm_solver/
 dpm_solver.py:7-1153 (full DPM_Solver, orders 1-3 single/multistep; the
 practically-used configuration is the 2nd-order multistep data-prediction
 variant, equivalent to diffusers' DPMSolverMultistepScheduler
-algorithm_type="dpmsolver++", solver_order=2).
+algorithm_type="dpmsolver++"; order 3 matches its solver_order=3).
 
-Math (log-SNR space, lambda = log(alpha/sigma)):
-  h   = lambda_prev - lambda_t
-  D   = x0_t                                  (first step)
-      = (1 + 1/(2r)) x0_t - 1/(2r) x0_{t-1}   (r = h_prev/h)
-  x   = (sigma_prev/sigma_t) x - alpha_prev (e^{-h} - 1) D
+Math (log-SNR space, lambda = log(alpha/sigma), h = lambda_prev - lambda_t,
+phi1 = e^{-h} - 1, all data-prediction):
+  order 1:  x = (sigma_p/sigma_t) x - alpha_p phi1 x0_t
+  order 2:  D = (1 + 1/(2r0)) x0_t - 1/(2r0) x0_{t-1}      (r0 = h_0/h)
+            x = (sigma_p/sigma_t) x - alpha_p phi1 D
+  order 3:  D1_0 = (x0_t - x0_{t-1})/r0, D1_1 = (x0_{t-1} - x0_{t-2})/r1
+            D1 = D1_0 + r0/(r0+r1) (D1_0 - D1_1)
+            D2 = (D1_0 - D1_1)/(r0+r1)                      (r1 = h_1/h)
+            x = (sigma_p/sigma_t) x - alpha_p phi1 x0_t
+                + alpha_p (phi1/h + 1) D1
+                - alpha_p ((phi1 + h)/h^2 - 1/2) D2
+Order ramps with warmup (min(order, step+1)) and drops toward the end
+(min(..., n-step)) — diffusers' lower_order_final behavior.
 """
 
 from __future__ import annotations
@@ -25,12 +33,16 @@ from editanything_tpu.samplers import schedule as sched
 class DPMState(NamedTuple):
     sample: jnp.ndarray
     x0_prev: jnp.ndarray
+    x0_prev2: jnp.ndarray
     h_prev: jnp.ndarray         # scalar
+    h_prev2: jnp.ndarray        # scalar
 
 
 def dpm_init(sample) -> DPMState:
     x = sample.astype(jnp.float32)
-    return DPMState(x, jnp.zeros_like(x), jnp.asarray(0.0, jnp.float32))
+    return DPMState(x, jnp.zeros_like(x), jnp.zeros_like(x),
+                    jnp.asarray(0.0, jnp.float32),
+                    jnp.asarray(0.0, jnp.float32))
 
 
 def _alpha_sigma_lambda(schedule, t):
@@ -51,10 +63,11 @@ def _to_x0(schedule, sample, model_output, t):
 
 
 def dpm_step(schedule: sched.NoiseSchedule, state: DPMState, model_output,
-             ts, step):
-    """One DPM-Solver++(2M) update; `ts` is the full timestep grid and
-    `step` the scan counter (order ramps 1 -> 2 after the first step; the
-    final step drops to order 1 for stability, diffusers' lower_order_final)."""
+             ts, step, *, order: int = 2):
+    """One DPM-Solver++ multistep update; `ts` is the full timestep grid
+    and `step` the scan counter. Effective order per step is
+    min(order, step+1, n-step): warmup ramps 1 -> order, and the tail
+    drops back down (diffusers' lower_order_final)."""
     n = ts.shape[0]
     t = ts[step]
     t_prev = jnp.where(step + 1 < n, ts[jnp.minimum(step + 1, n - 1)], -1)
@@ -65,12 +78,27 @@ def dpm_step(schedule: sched.NoiseSchedule, state: DPMState, model_output,
     a_t, s_t, lam_t = _alpha_sigma_lambda(schedule, t)
     a_p, s_p, lam_p = _alpha_sigma_lambda(schedule, t_prev)
     h = lam_p - lam_t
+    phi1 = jnp.exp(-h) - 1.0
+    hs = jnp.where(h == 0, 1.0, h)
 
-    r = state.h_prev / jnp.where(h == 0, 1.0, h)
-    d2 = (1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-8))) * x0 \
-        - (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * state.x0_prev
-    use_first_order = (step == 0) | (step == n - 1)
-    d = jnp.where(use_first_order, x0, d2)
+    eff = jnp.minimum(jnp.minimum(order, step + 1), n - step)
 
-    x_new = (s_p / s_t) * x - a_p * (jnp.exp(-h) - 1.0) * d
-    return DPMState(x_new, x0, h), x_new
+    r0 = jnp.maximum(state.h_prev / hs, 1e-8)
+    d2 = (1.0 + 1.0 / (2.0 * r0)) * x0 \
+        - (1.0 / (2.0 * r0)) * state.x0_prev
+    d = jnp.where(eff >= 2, d2, x0)
+
+    x_new = (s_p / s_t) * x - a_p * phi1 * d
+    if order >= 3:
+        r1 = jnp.maximum(state.h_prev2 / hs, 1e-8)
+        d1_0 = (x0 - state.x0_prev) / r0
+        d1_1 = (state.x0_prev - state.x0_prev2) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        dd2 = (d1_0 - d1_1) / (r0 + r1)
+        x3 = (s_p / s_t) * x - a_p * phi1 * x0 \
+            + a_p * (phi1 / hs + 1.0) * d1 \
+            - a_p * ((phi1 + hs) / (hs * hs) - 0.5) * dd2
+        x_new = jnp.where(eff >= 3, x3, x_new)
+
+    new_state = DPMState(x_new, x0, state.x0_prev, h, state.h_prev)
+    return new_state, x_new

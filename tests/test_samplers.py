@@ -358,3 +358,50 @@ def test_stochastic_encode_statistics():
     a, s = S.alpha_sigma(SCHED, jnp.asarray(t))
     assert abs(float(jnp.mean(xt)) - float(a)) < 0.05
     assert abs(float(jnp.std(xt)) - float(s)) < 0.05
+
+
+def _run_dpm3(x, ts):
+    n = len(ts)
+
+    def body(state, i):
+        out = _eps_model(state.sample, ts[i])
+        state, _ = dpm_step(SCHED, state, out, ts, i, order=3)
+        return state, ()
+
+    return jax.lax.scan(body, dpm_init(x), jnp.arange(n))[0].sample
+
+
+def test_dpm3_tracks_exact_ode(exact):
+    e = abs(float(_run_dpm3(X_T, jnp.asarray(make_timesteps(30)))[0])
+            - exact[0])
+    assert e < 0.05, e
+
+
+def test_dpm3_beats_dpm2(exact):
+    """Third-order multistep converges faster than second on the analytic
+    ODE (reference dpm_solver.py ships orders 1-3)."""
+    ts = jnp.asarray(make_timesteps(20))
+    e3 = abs(float(_run_dpm3(X_T, ts)[0]) - exact[0])
+    e2 = abs(float(_run_dpm(X_T, ts)[0]) - exact[0])
+    assert e3 < e2, (e3, e2)
+
+
+def test_dpm3_in_engine():
+    from editanything_tpu.engine import DenoiseConfig, build_denoiser
+    from editanything_tpu.models import config as C
+    from editanything_tpu.models import unet as U
+    ucfg = C.UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 2),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=8)
+    params = {"unet": U.init_unet(jax.random.PRNGKey(0), ucfg),
+              "controlnets": []}
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = {"cond": jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32)),
+           "uncond": jnp.zeros((1, 4, 32))}
+    cfg = DenoiseConfig(unet=ucfg, num_steps=4, sampler="dpm3")
+    run = jax.jit(build_denoiser(cfg, SCHED, make_timesteps(4)))
+    out = run(params, lat, ctx, {"guidance_scale": 5.0})
+    assert np.isfinite(np.asarray(out)).all()
