@@ -40,7 +40,8 @@ def main():
     from editanything_tpu.models import unet as U
     from editanything_tpu.models import controlnet as CN
     from editanything_tpu.models import vae as V
-    from editanything_tpu.perception import AMGConfig, build_amg
+    from editanything_tpu.perception import (AMGConfig, build_amg,
+                                             encode_id_map)
     from editanything_tpu.samplers import make_schedule, make_timesteps
 
     dtype = jnp.bfloat16
@@ -75,15 +76,8 @@ def main():
     def sam_phase(params, image):
         emb = sam_encode(params, image)
         masks = amg_generate(params, emb, grid)
-        up = jax.image.resize(masks["logits"],
-                              (masks["logits"].shape[0], 512, 512),
-                              method="bilinear")
-        m = (up > 0.0) & masks["valid"][:, None, None]
-        ids = jnp.arange(1, m.shape[0] + 1, dtype=jnp.uint16)[:, None, None]
-        id_map = jnp.max(jnp.where(m, ids, 0), axis=0)
-        r = (id_map % 256).astype(dtype)
-        g = (id_map // 256).astype(dtype)
-        cond = jnp.stack([r, g, jnp.zeros_like(r)], axis=-1) / 255.0
+        cond = encode_id_map(masks["logits"], masks["valid"],
+                             out_hw=(512, 512)).astype(dtype) / 255.0
         return jnp.broadcast_to(cond[None], (1, 512, 512, 3))
 
     # --- edit core

@@ -202,8 +202,12 @@ def generate_text_masks(ids: np.ndarray, special_ids: Sequence[int]
     attn = np.eye(t, dtype=bool)
     pos = np.zeros((t,), np.int32)
     prev = 0
-    for col in np.nonzero(np.isin(ids, list(special_ids)))[0]:
-        if col == 0 or col == t - 1:
+    cols = np.nonzero(np.isin(ids, list(special_ids)))[0]
+    for k, col in enumerate(cols):
+        # the final [SEP] gets the isolated treatment regardless of where
+        # padding put it — in the reference's UNPADDED run it always sits
+        # at num_token-1 and hits the `col == num_token - 1` branch
+        if col == 0 or k == len(cols) - 1:
             pos[col] = 0
         else:
             attn[prev + 1:col + 1, prev + 1:col + 1] = True
@@ -827,6 +831,15 @@ class GroundingDINODetector:
         for row in kept_probs:
             sel = [tokens[i] for i in np.nonzero(
                 row > self.text_threshold)[0] if i < len(tokens)]
-            phrases.append(" ".join(s for s in sel
-                                    if s not in ("[CLS]", "[SEP]", ".")))
+            # merge WordPiece continuations ("back", "##pack" -> "backpack"),
+            # the reference's get_phrases_from_posmap via tokenizer.decode
+            words = []
+            for tok in sel:
+                if tok in ("[CLS]", "[SEP]", "."):
+                    continue
+                if tok.startswith("##") and words:
+                    words[-1] += tok[2:]
+                else:
+                    words.append(tok[2:] if tok.startswith("##") else tok)
+            phrases.append(" ".join(words))
         return boxes, scores[keep], phrases

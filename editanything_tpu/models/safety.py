@@ -191,8 +191,12 @@ def preprocess(images_uint8: np.ndarray, cfg: CLIPVisionConfig) -> np.ndarray:
     out = np.empty((images_uint8.shape[0], s, s, 3), np.float32)
     for i, img in enumerate(images_uint8):
         h, w = img.shape[:2]
-        scale = s / min(h, w)
-        nh, nw = max(int(round(h * scale)), s), max(int(round(w * scale)), s)
+        # HF get_resize_output_image_size: short side = s, long side
+        # TRUNCATED int(s * long / short)
+        if h <= w:
+            nh, nw = s, max(int(s * w / h), s)
+        else:
+            nh, nw = max(int(s * h / w), s), s
         r = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BICUBIC))
         y0, x0 = (nh - s) // 2, (nw - s) // 2
         out[i] = r[y0:y0 + s, x0:x0 + s].astype(np.float32) / 255.0

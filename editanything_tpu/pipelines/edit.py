@@ -67,10 +67,10 @@ class EditPipeline(GenerationPipeline):
 
     # -- host-side input prep ------------------------------------------------
 
-    def _prep(self, image: np.ndarray, mask: np.ndarray,
-              image_resolution: int):
-        img = resize_image(HWC3(image.astype(np.uint8)), image_resolution)
-        h, w = img.shape[:2]
+    @staticmethod
+    def _norm_mask(mask: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Any mask input (HxW / HxWxC, 0-1 or 0-255) -> binary (h, w)
+        float mask at the target resolution (nearest, >=0.5)."""
         m = np.asarray(mask, np.float32)
         if m.ndim == 3:
             m = m[..., 0]
@@ -78,8 +78,13 @@ class EditPipeline(GenerationPipeline):
             m = m / 255.0
         m = np.asarray(
             jax.image.resize(jnp.asarray(m), (h, w), method="nearest"))
-        m = (m >= 0.5).astype(np.float32)
-        return img, m, h, w
+        return (m >= 0.5).astype(np.float32)
+
+    def _prep(self, image: np.ndarray, mask: np.ndarray,
+              image_resolution: int):
+        img = resize_image(HWC3(image.astype(np.uint8)), image_resolution)
+        h, w = img.shape[:2]
+        return img, self._norm_mask(mask, h, w), h, w
 
     def _latent_inputs(self, img_uint8, mask_hw, h, w, num_samples):
         """VAE-encode the masked image; build latent-res mask tensors."""
@@ -251,7 +256,9 @@ class EditPipeline(GenerationPipeline):
         out = program(params, latents, context, inputs)
         if return_latents:
             return jax.device_get(out)
-        return self.bundle.run_safety(to_uint8(jax.device_get(out)))[0]
+        imgs, self.last_nsfw = self.bundle.run_safety(
+            to_uint8(jax.device_get(out)))
+        return imgs
 
     # -- tile refinement ------------------------------------------------------
 
@@ -278,14 +285,7 @@ class EditPipeline(GenerationPipeline):
             resize_image(HWC3(np.asarray(im).astype(np.uint8)),
                          refine_image_resolution) for im in images_uint8])
         h, w = imgs.shape[1:3]
-        m = np.asarray(mask, np.float32)
-        if m.ndim == 3:
-            m = m[..., 0]
-        if m.max() > 1.5:
-            m = m / 255.0
-        m = np.asarray(jax.image.resize(jnp.asarray(m), (h, w),
-                                        method="nearest"))
-        m = (m >= 0.5).astype(np.float32)
+        m = self._norm_mask(mask, h, w)
 
         dcfg = DenoiseConfig(
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs((tile_control,)),
@@ -325,5 +325,6 @@ class EditPipeline(GenerationPipeline):
             lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
             and x.shape[0] == s else x, inputs)
         out = program(params, lat_in, context, inputs)
-        out = self.bundle.run_safety(to_uint8(jax.device_get(out)))[0]
+        out, self.last_nsfw = self.bundle.run_safety(
+            to_uint8(jax.device_get(out)))
         return [out[i] for i in range(s)]

@@ -80,6 +80,11 @@ class GenerationPipeline:
         self.controlnet = controlnet
         self.mesh = mesh
         self.cache = ProgramCache()
+        # per-image NSFW flags from the optional safety checker for the
+        # most recent call (None = no checker loaded); diffusers returns
+        # (images, has_nsfw_concepts) — our array-out API surfaces the
+        # flags here instead
+        self.last_nsfw = None
 
     def _shard(self, tree):
         """Shard leading batch axes over the mesh data axis (no-op off)."""
@@ -163,4 +168,6 @@ class GenerationPipeline:
             lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
             and x.shape[0] == num_samples else x, inputs)
         img = program(params, latents, context, inputs)
-        return self.bundle.run_safety(to_uint8(jax.device_get(img)))[0]
+        out, self.last_nsfw = self.bundle.run_safety(
+            to_uint8(jax.device_get(img)))
+        return out

@@ -92,7 +92,9 @@ class Img2ImgPipeline(GenerationPipeline):
                   "controlnets": b.controlnet_params(controls),
                   "vae": b.vae}
         out = program(params, latents, context, inputs)
-        return self.bundle.run_safety(to_uint8(jax.device_get(out)))[0]
+        imgs, self.last_nsfw = self.bundle.run_safety(
+            to_uint8(jax.device_get(out)))
+        return imgs
 
     def _encode_latents(self, x):
         b = self.bundle

@@ -18,7 +18,8 @@ phi1 = e^{-h} - 1, all data-prediction):
                 + alpha_p (phi1/h + 1) D1
                 - alpha_p ((phi1 + h)/h^2 - 1/2) D2
 Order ramps with warmup (min(order, step+1)) and drops toward the end
-(min(..., n-step)) — diffusers' lower_order_final behavior.
+(min(..., n-step)); see dpm_step for why the tail drop is unconditional
+here while diffusers gates it on < 15 steps.
 """
 
 from __future__ import annotations
@@ -66,8 +67,9 @@ def dpm_step(schedule: sched.NoiseSchedule, state: DPMState, model_output,
              ts, step, *, order: int = 2):
     """One DPM-Solver++ multistep update; `ts` is the full timestep grid
     and `step` the scan counter. Effective order per step is
-    min(order, step+1, n-step): warmup ramps 1 -> order, and the tail
-    drops back down (diffusers' lower_order_final)."""
+    min(order, step+1, n-step): warmup ramps 1 -> order and the tail
+    drops back down (see inline comment for why the tail drop is
+    unconditional in this discretization)."""
     n = ts.shape[0]
     t = ts[step]
     t_prev = jnp.where(step + 1 < n, ts[jnp.minimum(step + 1, n - 1)], -1)
@@ -81,6 +83,13 @@ def dpm_step(schedule: sched.NoiseSchedule, state: DPMState, model_output,
     phi1 = jnp.exp(-h) - 1.0
     hs = jnp.where(h == 0, 1.0, h)
 
+    # warmup ramp AND unconditional lower-order tail. diffusers gates the
+    # tail drop on len(timesteps) < 15, but its sigma schedule never steps
+    # to sigma=0; ours ends at final_alpha_cumprod (t_prev = -1), where
+    # lambda jumps by ~10 and multistep extrapolation through that h
+    # diverges (measured: order 2 at the final step turns a 0.02 endpoint
+    # error into 0.6). The tail drop is a stability requirement of this
+    # discretization, not an option.
     eff = jnp.minimum(jnp.minimum(order, step + 1), n - step)
 
     r0 = jnp.maximum(state.h_prev / hs, 1e-8)
