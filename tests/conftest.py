@@ -66,11 +66,8 @@ SMOKE = {
     "test_data.py::TestRLE::test_roundtrip_native",
     "test_data.py::TestRLE::test_native_matches_numpy",
     # models structure
-    "test_models.py::test_controlnet_zero_init_is_identity",
     "test_models.py::test_clip_causal_masking",
-    "test_models.py::test_vae_roundtrip_shapes",
-    # checkpoints
-    "test_checkpoints.py::TestLoRA::test_merge_matches_reference_formula",
+    # checkpoints (the full-tree LoRA merge test costs ~60 s; full tier)
     "test_checkpoints.py::TestLoRA::test_unknown_targets_skipped",
     # reference-only control math
     "test_refctrl.py::TestMath",
