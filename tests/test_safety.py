@@ -129,3 +129,29 @@ class TestSafetyChecker:
             jnp.full_like(params["concept_embeds_weights"], -1.0)
         out2, nsfw2 = S.SafetyChecker(params2, TINY)(imgs)
         assert nsfw2.all() and (out2 == 0).all()
+
+
+def test_pipeline_surfaces_nsfw_flags():
+    """A bundle with a loaded checker: pipelines black out flagged images
+    and expose per-image flags as pipe.last_nsfw (diffusers' has_nsfw
+    return, surfaced as an attribute on our array-out API)."""
+    import dataclasses
+
+    from editanything_tpu.models.safety import SafetyChecker
+    from editanything_tpu.pipelines import GenerationPipeline
+    from editanything_tpu.pipelines.bundle import random_bundle
+
+    params = S.init_safety_checker(jax.random.PRNGKey(0), TINY)
+    # thresholds at -1 fire on every image
+    params["concept_embeds_weights"] = \
+        jnp.full_like(params["concept_embeds_weights"], -1.0)
+    checker = SafetyChecker(params, TINY)
+    bundle = dataclasses.replace(
+        random_bundle(jax.random.PRNGKey(1), tiny=True,
+                      controlnet_names=("sam",)), safety=checker)
+    pipe = GenerationPipeline(bundle, controlnet="sam")
+    assert pipe.last_nsfw is None
+    out = pipe(prompt="x", condition_image=np.zeros((64, 64, 3), np.uint8),
+               num_samples=2, image_resolution=64, num_steps=2, seed=0)
+    assert (out == 0).all()
+    assert pipe.last_nsfw.tolist() == [True, True]
