@@ -94,6 +94,10 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
     bias = bias.reshape(1, c)
     kernel = functools.partial(_gn_silu_kernel, num_groups=num_groups,
                                eps=eps, apply_silu=apply_silu)
+    # raise the scoped-VMEM budget: one image block of the SD up-blocks is
+    # up to ~8 MB (64x64x960 bf16); v5e has 128 MB VMEM, and the in/out
+    # blocks for this kernel are the only large residents
+    from jax.experimental.pallas import tpu as pltpu
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -104,13 +108,16 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(x, scale, bias)
 
 
-# In + out blocks are double-buffered by the pipeline; keep 4x block bytes
-# comfortably under the ~16MB scoped VMEM limit.
-_MAX_BLOCK_BYTES = 3 * 1024 * 1024
+# In + out blocks are double-buffered by the pipeline; with the raised
+# vmem_limit_bytes (100 MB of the chip's 128 MB) the 64x64x960-channel
+# up-block activations (~8 MB) fit comfortably.
+_MAX_BLOCK_BYTES = 12 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
