@@ -151,9 +151,15 @@ def safety_checker_to_tree(sd: Mapping[str, np.ndarray], dtype=None) -> dict:
     """StableDiffusionSafetyChecker state dict
     (CompVis/stable-diffusion-safety-checker) -> models/safety.py tree:
     vision_model.* CLIP tower + visual_projection + concept/special-care
-    embeds and thresholds (all bare buffers)."""
-    stripped = {k: v for k, v in sd.items()
-                if not k.endswith("position_ids")}
+    embeds and thresholds (all bare buffers).
+
+    The HF class nests a CLIPVisionModel under an attribute that is ALSO
+    named vision_model, so real checkpoint keys are doubled
+    (vision_model.vision_model.embeddings...); strip one level so the tree
+    matches models/safety.py's single vision_model prefix."""
+    stripped = {
+        k.replace("vision_model.vision_model.", "vision_model.", 1): v
+        for k, v in sd.items() if not k.endswith("position_ids")}
     return state_dict_to_tree(
         stripped, norm_weight_name="scale",
         embedding_modules=("position_embedding",),

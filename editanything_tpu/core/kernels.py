@@ -86,6 +86,34 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
     jax.lax.fori_loop(0, n_chunks, norm_body, 0)
 
 
+@functools.cache
+def _vmem_bytes() -> int:
+    """Per-core VMEM of the local device. v4/v5e/v5p/v6e have 128 MiB;
+    v2/v3 (and unknown kinds) get the conservative 16 MiB so the fused
+    kernel dispatches to the XLA fallback instead of VMEM-OOMing."""
+    try:
+        kind = jax.local_devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover
+        return 16 * 1024 * 1024
+    big = ("v4", "v5", "v6", "v5 lite", "v5e", "v5p", "v6e", "v6 lite")
+    if any(t in kind for t in big):
+        return 128 * 1024 * 1024
+    return 16 * 1024 * 1024
+
+
+def _vmem_limit_bytes() -> int:
+    # leave ~1/4 headroom for Mosaic's own temporaries
+    return (_vmem_bytes() * 3) // 4
+
+
+def _max_block_bytes() -> int:
+    """Largest (H, W, C) image block the fused kernel accepts. In + out
+    blocks are double-buffered by the pipeline, so ~4 residents of this
+    size must fit under the scoped-VMEM limit; 12 MiB on a 128 MiB part
+    covers the 64x64x960-channel SD up-block activations (~8 MB)."""
+    return _vmem_limit_bytes() // 8
+
+
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "apply_silu"))
 def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
                     apply_silu: bool):
@@ -94,9 +122,6 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
     bias = bias.reshape(1, c)
     kernel = functools.partial(_gn_silu_kernel, num_groups=num_groups,
                                eps=eps, apply_silu=apply_silu)
-    # raise the scoped-VMEM budget: one image block of the SD up-blocks is
-    # up to ~8 MB (64x64x960 bf16); v5e has 128 MB VMEM, and the in/out
-    # blocks for this kernel are the only large residents
     from jax.experimental.pallas import tpu as pltpu
     return pl.pallas_call(
         kernel,
@@ -109,15 +134,9 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=_INTERPRET,
     )(x, scale, bias)
-
-
-# In + out blocks are double-buffered by the pipeline; with the raised
-# vmem_limit_bytes (100 MB of the chip's 128 MB) the 64x64x960-channel
-# up-block activations (~8 MB) fit comfortably.
-_MAX_BLOCK_BYTES = 12 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -167,7 +186,7 @@ def group_norm_silu(params, x, *, num_groups: int = 32, eps: float = 1e-5,
     n, h, w, c = x.shape
     block_bytes = h * w * c * x.dtype.itemsize
     if (not _DISABLED and (_on_tpu() or _INTERPRET)
-            and c % num_groups == 0 and block_bytes <= _MAX_BLOCK_BYTES):
+            and c % num_groups == 0 and block_bytes <= _max_block_bytes()):
         return _gn_silu(params["scale"], params["bias"], x,
                         num_groups, eps, apply_silu)
     return _gn_silu_reference(params["scale"], params["bias"], x,

@@ -45,9 +45,16 @@ def _hf_tiny():
 
 def _full_sd(hf_model):
     """Compose a StableDiffusionSafetyChecker-layout state dict: the HF
-    vision tower + projection/concept buffers."""
+    vision tower + projection/concept buffers.
+
+    The real class nests CLIPVisionModel under an attribute also named
+    vision_model, so tower keys carry a DOUBLED prefix
+    (vision_model.vision_model.embeddings...) — mirror that exactly by
+    wrapping the tower in a module whose attribute is named vision_model."""
     rng = np.random.default_rng(0)
-    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    wrapper = torch.nn.Module()
+    wrapper.vision_model = hf_model
+    sd = {k: v.numpy() for k, v in wrapper.state_dict().items()}
     sd["visual_projection.weight"] = rng.normal(
         0, 0.05, (TINY.projection_dim, TINY.hidden_size)).astype(np.float32)
     sd["concept_embeds"] = rng.normal(
