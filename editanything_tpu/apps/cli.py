@@ -129,13 +129,107 @@ def cmd_semantic(args):
     print("condition map saved:", _save_images(cond[None], args.output)[0])
 
 
+# The reference's process() positional parameter order — a pickle captured
+# from the actual reference UI stores all 35 of these in data["args"]
+# (@save_input_to_file, /root/reference/annotator/util.py:77-95; replayed as
+# model.process(*args, **kwargs), editany_nogradio.py:14). Order from
+# /root/reference/editany_lora.py:609-644.
+REF_PROCESS_PARAMS = (
+    "source_image", "enable_all_generate", "mask_image", "control_scale",
+    "enable_auto_prompt", "a_prompt", "n_prompt", "num_samples",
+    "image_resolution", "detect_resolution", "ddim_steps", "guess_mode",
+    "scale", "seed", "eta", "enable_tile", "refine_alignment_ratio",
+    "refine_image_resolution", "alpha_weight", "use_scale_map",
+    "condition_model", "ref_image", "attention_auto_machine_weight",
+    "gn_auto_machine_weight", "style_fidelity", "reference_attn",
+    "reference_adain", "ref_prompt", "ref_sam_scale", "ref_inpaint_scale",
+    "ref_auto_prompt", "ref_textinv", "ref_textinv_path", "ref_scale",
+)
+
+
+def reference_call_to_kwargs(ref_args, ref_kwargs=None) -> dict:
+    """Map a reference-format process() invocation (positional args in the
+    editany_lora.py:609-644 order, plus reference-named kwargs) onto
+    EditAnythingEditor.process's keyword-only surface.
+
+    Gradio image dicts ({"image":…, "mask":…} from the brush/drag widgets,
+    editany_lora.py:652-656,704-706) are unpacked; reference-only knobs with
+    no TPU equivalent (eta — UniPC ignores it; condition_model — a bundle
+    weight-swap, not a per-call kwarg; ref_sam_scale/ref_inpaint_scale) are
+    dropped with a warning when set to a non-default value."""
+    import warnings
+
+    import numpy as _np
+    ref = dict(zip(REF_PROCESS_PARAMS, ref_args))
+    for k, v in (ref_kwargs or {}).items():
+        if k in REF_PROCESS_PARAMS:
+            ref[k] = v
+
+    out = {}
+    src = ref.get("source_image")
+    if isinstance(src, dict):
+        out["image"] = _np.asarray(src["image"], _np.uint8)
+        brush_mask = src.get("mask")
+    else:
+        out["image"] = _np.asarray(src, _np.uint8)
+        brush_mask = None
+    mask = ref.get("mask_image")
+    if mask is None and not ref.get("enable_all_generate", False):
+        mask = brush_mask
+    if mask is not None:
+        mask = _np.asarray(mask, _np.uint8)
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+    out["mask"] = mask
+
+    direct = ("enable_all_generate", "control_scale", "enable_auto_prompt",
+              "a_prompt", "n_prompt", "num_samples", "image_resolution",
+              "detect_resolution", "ddim_steps", "guess_mode", "scale",
+              "seed", "enable_tile", "alpha_weight", "use_scale_map",
+              "style_fidelity", "reference_attn", "reference_adain",
+              "ref_prompt", "ref_auto_prompt", "ref_textinv",
+              "ref_textinv_path", "ref_scale")
+    for k in direct:
+        if k in ref and ref[k] is not None:
+            out[k] = ref[k]
+    if ref.get("refine_alignment_ratio") is not None:
+        out["refine_alignment_ratio"] = ref["refine_alignment_ratio"]
+    if ref.get("refine_image_resolution") is not None:
+        out["refine_image_resolution"] = ref["refine_image_resolution"]
+    if ref.get("attention_auto_machine_weight") is not None:
+        out["attention_auto_weight"] = ref["attention_auto_machine_weight"]
+    if ref.get("gn_auto_machine_weight") is not None:
+        out["gn_auto_weight"] = ref["gn_auto_machine_weight"]
+    rimg = ref.get("ref_image")
+    if isinstance(rimg, dict):
+        out["ref_image"] = _np.asarray(rimg["image"], _np.uint8)
+        if rimg.get("mask") is not None:
+            out["ref_mask"] = _np.asarray(rimg["mask"], _np.uint8)
+    elif rimg is not None:
+        out["ref_image"] = _np.asarray(rimg, _np.uint8)
+
+    for k, default in (("eta", 0.0), ("condition_model", None),
+                       ("ref_sam_scale", None), ("ref_inpaint_scale", None)):
+        v = ref.get(k, default)
+        if v not in (default, "EditAnything"):
+            warnings.warn(f"replay: reference kwarg {k}={v!r} has no "
+                          "per-call TPU equivalent and was dropped")
+    return out
+
+
 def cmd_replay(args):
     """Re-run a pickled process() invocation headless
-    (editany_nogradio.py:1-16 semantics)."""
+    (editany_nogradio.py:1-16 semantics). Accepts BOTH pickle layouts:
+    reference-captured (positional data["args"] in the 35-param order of
+    editany_lora.py:609-644, reference-named kwargs) and this package's
+    own EA_SAVE_INPUTS captures (keyword-only native names)."""
     editor, _ = _build_editor(args.bundle_spec)
     with open(args.pickle, "rb") as f:
         data = pickle.load(f)
-    kwargs = data.get("kwargs", {})
+    pos = tuple(data.get("args", ()))
+    kwargs = dict(data.get("kwargs", {}))
+    if pos or any(k in REF_PROCESS_PARAMS for k in kwargs):
+        kwargs = reference_call_to_kwargs(pos, kwargs)
     tile, results, _, prompt = editor.process(**kwargs)
     print("prompt:", prompt)
     print("\n".join(_save_images(results, args.output)))

@@ -209,6 +209,88 @@ class TestImg2Img:
         assert out.shape == (1, 64, 64, 3)
 
 
+class TestReferenceReplay:
+    """A pickle captured from the ACTUAL reference UI stores all 35 process
+    params positionally (annotator/util.py:77-95, replayed as
+    model.process(*args, **kwargs) by editany_nogradio.py:14); the CLI must
+    map that onto our keyword-only surface."""
+
+    @staticmethod
+    def _reference_args(img, mask=None, **over):
+        """Positional args in the editany_lora.py:609-644 order, with the
+        reference demo's defaults."""
+        source = {"image": img, "mask": over.pop("brush_mask", None)} \
+            if over.pop("as_dict", False) else img
+        vals = dict(
+            source_image=source, enable_all_generate=False, mask_image=mask,
+            control_scale=0.5, enable_auto_prompt=False, a_prompt="best",
+            n_prompt="bad", num_samples=1, image_resolution=64,
+            detect_resolution=64, ddim_steps=2, guess_mode=False, scale=9.0,
+            seed=5, eta=0.0, enable_tile=False, refine_alignment_ratio=0.95,
+            refine_image_resolution=128, alpha_weight=0.5,
+            use_scale_map=False, condition_model="EditAnything",
+            ref_image=None, attention_auto_machine_weight=1.0,
+            gn_auto_machine_weight=1.0, style_fidelity=0.5,
+            reference_attn=True, reference_adain=True, ref_prompt=None,
+            ref_sam_scale=None, ref_inpaint_scale=None,
+            ref_auto_prompt=False, ref_textinv=False, ref_textinv_path=None,
+            ref_scale=None)
+        vals.update(over)
+        from editanything_tpu.apps.cli import REF_PROCESS_PARAMS
+        return tuple(vals[k] for k in REF_PROCESS_PARAMS)
+
+    def test_positional_mapping_and_replay(self, editor):
+        import pickle
+
+        from editanything_tpu.apps.cli import reference_call_to_kwargs
+        img = _image(seed=21)
+        mask = np.zeros((96, 96), np.uint8)
+        mask[20:70, 20:70] = 255
+        blob = pickle.dumps({"args": self._reference_args(img, mask),
+                             "kwargs": {}})
+        data = pickle.loads(blob)
+        kw = reference_call_to_kwargs(data["args"], data["kwargs"])
+        assert kw["a_prompt"] == "best" and kw["n_prompt"] == "bad"
+        assert kw["seed"] == 5 and kw["ddim_steps"] == 2
+        np.testing.assert_array_equal(kw["image"], img)
+        np.testing.assert_array_equal(kw["mask"], mask)
+        # must also add condition_image (tiny SAM in the fixture is slow
+        # but works); replay end-to-end through process()
+        _, results, _, _ = editor.process(
+            **{**kw, "condition_image": np.zeros((96, 96, 3), np.uint8),
+               "alignment_ratio": 0.5})
+        assert results[0].shape == (64, 64, 3)
+
+    def test_gradio_dicts_and_renames(self):
+        from editanything_tpu.apps.cli import reference_call_to_kwargs
+        img = _image(seed=22)
+        brush = np.zeros((96, 96, 3), np.uint8)
+        brush[10:30, 10:30] = 255
+        ref_img = _image(seed=23)
+        ref_mask = np.full((96, 96, 3), 255, np.uint8)
+        args = self._reference_args(
+            img, None, as_dict=True, brush_mask=brush,
+            ref_image={"image": ref_img, "mask": ref_mask},
+            attention_auto_machine_weight=0.7, gn_auto_machine_weight=0.3)
+        kw = reference_call_to_kwargs(args)
+        np.testing.assert_array_equal(kw["image"], img)
+        np.testing.assert_array_equal(kw["mask"], brush[..., 0])
+        np.testing.assert_array_equal(kw["ref_image"], ref_img)
+        assert kw["ref_mask"].shape == (96, 96, 3)
+        assert kw["attention_auto_weight"] == 0.7
+        assert kw["gn_auto_weight"] == 0.3
+        assert "eta" not in kw and "condition_model" not in kw
+
+    def test_kwargs_override_and_warnings(self):
+        from editanything_tpu.apps.cli import reference_call_to_kwargs
+        args = self._reference_args(_image(seed=24))
+        kw = reference_call_to_kwargs(args, {"seed": 99, "ddim_steps": 7})
+        assert kw["seed"] == 99 and kw["ddim_steps"] == 7
+        with pytest.warns(UserWarning, match="ref_sam_scale"):
+            reference_call_to_kwargs(
+                self._reference_args(_image(seed=24), ref_sam_scale=1.2))
+
+
 class TestScaleMapToggle:
     def test_auto_scale_map_from_mask(self, editor):
         """use_scale_map derives 1-mask so the SAM control is zeroed inside
