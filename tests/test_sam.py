@@ -123,6 +123,18 @@ def test_amg_end_to_end_tiny(params):
     assert (areas > 0).all()
 
 
+def test_upscale_masks_matches_jax_image_resize():
+    """The separable-matmul upscale must reproduce jax.image.resize's
+    bilinear weights exactly (up, down, and non-square)."""
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 4, (5, 16, 24)).astype(np.float32))
+    for out_hw in ((32, 48), (64, 24), (8, 12), (17, 33)):
+        got = AMG.upscale_masks(logits, out_hw)
+        want = jax.image.resize(logits, (5,) + out_hw, method="bilinear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_encode_id_map_matches_show_anns_semantics():
     # two masks: slot 0 covers left half, slot 1 covers center square
     logits = jnp.full((3, 8, 8), -10.0)
