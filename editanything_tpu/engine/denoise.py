@@ -295,7 +295,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                                   inputs, hoisted))
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
-    def blend_outside_mask(latents, i, inputs):
+    def blend_outside_mask(latents, i, inputs, t_next=None):
         """Per-step latent blending with the re-noised original.
 
         "blend" (reference :1647-1656): requires alignment_ratio set; for
@@ -324,7 +324,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 return latents
             noise = inputs["noise"].astype(jnp.float32)
 
-        t_next = ts[jnp.minimum(i + 1, n - 1)]
+        if t_next is None:      # singlestep passes its own plan grid
+            t_next = ts[jnp.minimum(i + 1, n - 1)]
         renoised = sched.add_noise(schedule, img, noise, t_next)
         last = (i + 1) >= n
 
@@ -445,6 +446,34 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 state, prev = dpm_mod.dpm_step(schedule, state, out, ts, i,
                                                order=dpm_order)
                 prev = blend_outside_mask(prev, i, inputs)
+                state = state._replace(sample=prev)
+                return state, ()
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(n))
+            return final_paste(state.sample, inputs).astype(latents.dtype)
+    elif cfg.sampler in ("dpms1", "dpms2", "dpms3"):
+        # DPM-Solver++ singlestep. The eval grid is lambda-aware (block
+        # intermediates at log-SNR fractions), so the plan supersedes the
+        # caller-provided `ts`; n model evals either way.
+        ss_order = int(cfg.sampler[-1])
+
+        def run(params, latents, context, inputs):
+            plan = dpm_mod.singlestep_plan(schedule, n, ss_order)
+            p_ts = jnp.asarray(plan.ts)
+            p_phase = jnp.asarray(plan.phase)
+            p_bsize = jnp.asarray(plan.bsize)
+            p_end = jnp.asarray(plan.t_end)
+            hoisted = precompute_hints(params, inputs, latents.dtype)
+            state = dpm_mod.singlestep_init(latents)
+
+            def body(state, i):
+                t = p_ts[i]
+                out = model_output(params, state.sample.astype(latents.dtype),
+                                   t, context, inputs, hoisted)
+                state, prev = dpm_mod.singlestep_step(
+                    schedule, state, out, p_ts, p_phase, p_bsize, p_end, i)
+                prev = blend_outside_mask(
+                    prev, i, inputs, t_next=p_ts[jnp.minimum(i + 1, n - 1)])
                 state = state._replace(sample=prev)
                 return state, ()
 

@@ -420,3 +420,76 @@ def test_dpm3_in_engine():
     run = jax.jit(build_denoiser(cfg, SCHED, make_timesteps(4)))
     out = run(params, lat, ctx, {"guidance_scale": 5.0})
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++ singlestep (dpm.py singlestep_*)
+# ---------------------------------------------------------------------------
+
+from editanything_tpu.samplers import (singlestep_plan, singlestep_init,
+                                       singlestep_step)
+
+
+def _run_dpm_ss(x, num_steps, order):
+    plan = singlestep_plan(SCHED, num_steps, order)
+    p_ts, p_ph, p_bs, p_end = (jnp.asarray(a) for a in plan)
+
+    def body(state, i):
+        out = _eps_model(state.sample, p_ts[i])
+        state, _ = singlestep_step(SCHED, state, out, p_ts, p_ph, p_bs,
+                                   p_end, i)
+        return state, ()
+
+    return jax.lax.scan(body, singlestep_init(x),
+                        jnp.arange(num_steps))[0].sample
+
+
+def test_singlestep_plan_structure():
+    for order in (2, 3):
+        plan = singlestep_plan(SCHED, 30, order)
+        assert len(plan.ts) == 30
+        assert plan.bsize[-1] == 1          # forced first-order tail
+        assert plan.t_end[-1] == -1
+        i = 0
+        while i < 30:
+            k = int(plan.bsize[i])
+            assert list(plan.phase[i:i + k]) == list(range(k))
+            # eval points strictly decrease through the block to its target
+            pts = list(plan.ts[i:i + k]) + [int(plan.t_end[i])]
+            assert all(a > b for a, b in zip(pts, pts[1:])), pts
+            i += k
+
+
+def test_dpm_singlestep_tracks_exact_ode(exact):
+    for order in (1, 2, 3):
+        e = abs(float(_run_dpm_ss(X_T, 30, order)[0]) - exact[0])
+        assert e < 0.05, (order, e)
+
+
+def test_dpm_singlestep2_beats_ddim(exact):
+    e_ss = abs(float(_run_dpm_ss(X_T, 30, 2)[0]) - exact[0])
+    e_ddim = abs(float(_run_ddim(X_T, jnp.asarray(make_timesteps(30)))[0])
+                 - exact[0])
+    assert e_ss < e_ddim, (e_ss, e_ddim)
+
+
+def test_dpm_singlestep_in_engine():
+    from editanything_tpu.engine import DenoiseConfig, build_denoiser
+    from editanything_tpu.models import config as C
+    from editanything_tpu.models import unet as U
+    ucfg = C.UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 2),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=8)
+    params = {"unet": U.init_unet(jax.random.PRNGKey(0), ucfg),
+              "controlnets": []}
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = {"cond": jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32)),
+           "uncond": jnp.zeros((1, 4, 32))}
+    for sampler in ("dpms2", "dpms3"):
+        cfg = DenoiseConfig(unet=ucfg, num_steps=5, sampler=sampler)
+        run = jax.jit(build_denoiser(cfg, SCHED, make_timesteps(5)))
+        out = run(params, lat, ctx, {"guidance_scale": 5.0})
+        assert np.isfinite(np.asarray(out)).all(), sampler
