@@ -28,7 +28,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def bench_edit_throughput(batch: int, steps: int):
+def bench_edit_throughput(batch: int, steps: int, _setup_cache={}):
     from editanything_tpu.engine import DenoiseConfig, build_denoiser
     from editanything_tpu.models import config as C
     from editanything_tpu.models import unet as U
@@ -41,13 +41,15 @@ def bench_edit_throughput(batch: int, steps: int):
     cn_cfg = C.ControlNetConfig(unet=ucfg)
     vcfg = C.VAEConfig()
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
-    params = {
-        "unet": jax.jit(lambda k: U.init_unet(k, ucfg, dtype))(ks[0]),
-        "controlnets": [
-            jax.jit(lambda k: CN.init_controlnet(k, cn_cfg, dtype))(ks[1]),
-            jax.jit(lambda k: CN.init_controlnet(k, cn_cfg, dtype))(ks[2])],
-        "vae": jax.jit(lambda k: V.init_vae(k, vcfg, dtype))(ks[3]),
-    }
+    if "params" not in _setup_cache:
+        _setup_cache["params"] = {
+            "unet": jax.jit(lambda k: U.init_unet(k, ucfg, dtype))(ks[0]),
+            "controlnets": [
+                jax.jit(lambda k: CN.init_controlnet(k, cn_cfg, dtype))(ks[1]),
+                jax.jit(lambda k: CN.init_controlnet(k, cn_cfg, dtype))(ks[2])],
+            "vae": jax.jit(lambda k: V.init_vae(k, vcfg, dtype))(ks[3]),
+        }
+    params = _setup_cache["params"]
     dcfg = DenoiseConfig(unet=ucfg, controlnets=(cn_cfg, cn_cfg),
                          num_steps=steps, sampler="unipc",
                          inpaint_mode="blend", alignment_ratio=None)
@@ -74,6 +76,15 @@ def bench_edit_throughput(batch: int, steps: int):
         "noise": jax.random.normal(ks[5], (b, 64, 64, 4), jnp.float32),
     }
 
+    # exact device FLOPs from XLA's cost model (per whole edit program)
+    lat0 = jax.random.normal(ks[3], (b, 64, 64, 4), dtype)
+    try:
+        cost = fn.lower(params, lat0, context, inputs).compile() \
+            .cost_analysis()
+        gflops = float(cost.get("flops", 0.0)) / 1e9
+    except Exception:
+        gflops = 0.0
+
     def run():
         lat = jax.random.normal(ks[3], (b, 64, 64, 4), dtype)
         out = fn(params, lat, context, inputs)
@@ -86,10 +97,15 @@ def bench_edit_throughput(batch: int, steps: int):
         run()
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[1]
-    print(json.dumps({
+    rec = {
         "metric": f"edits_per_sec_per_chip_512px_{steps}step_batch{b}",
         "value": round(b / p50, 3), "unit": "edits/s",
-        "latency_s": round(p50, 3)}))
+        "latency_s": round(p50, 3),
+        "ms_per_step": round(p50 / steps * 1000, 2)}
+    if gflops:
+        rec["tflops_per_sec"] = round(gflops / p50 / 1000, 1)
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_sam_masks(detect_res: int = 1024):
@@ -133,7 +149,16 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--skip-sam", action="store_true")
+    p.add_argument("--curve", action="store_true",
+                   help="measure the batch 1/2/4/8 throughput curve")
     a = p.parse_args()
-    bench_edit_throughput(a.batch, a.steps)
+    if a.curve:
+        curve = [bench_edit_throughput(b, a.steps) for b in (1, 2, 4, 8)]
+        best = max(curve, key=lambda r: r["value"])
+        print(json.dumps({"metric": "edit_throughput_curve_best",
+                          "value": best["value"], "unit": "edits/s",
+                          "at_batch": int(best["metric"].rsplit("batch")[-1])}))
+    else:
+        bench_edit_throughput(a.batch, a.steps)
     if not a.skip_sam:
         bench_sam_masks()

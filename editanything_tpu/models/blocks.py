@@ -75,15 +75,24 @@ def init_attention(key, query_dim, context_dim=None, dtype=jnp.float32):
 def attention_layer(params, x, context=None, *, heads, context_mask=None):
     """Multi-head attention over (B, N, C) with optional cross context.
 
-    QKV projections hit the MXU as single big matmuls; the core runs through
-    the Pallas flash kernel (core.flash_attention.dispatch).
+    QKV projections hit the MXU as single big matmuls — for SELF attention
+    the three projections fuse into one (C, 3C) matmul (to_q/to_k/to_v are
+    bias-free, so concatenating the weights is exact; the concat is
+    loop-invariant and hoisted by XLA). The core runs through the Pallas
+    flash kernel (core.flash_attention.dispatch).
     `context_mask`: boolean (.., 1, M) — False keys are excluded from the
     softmax (used by reference-only control to mask bank tokens)."""
-    context = x if context is None else context
     b, n, c = x.shape
-    q = L.linear(params["to_q"], x)
-    k = L.linear(params["to_k"], context)
-    v = L.linear(params["to_v"], context)
+    if context is None:
+        w_qkv = jnp.concatenate([params["to_q"]["kernel"],
+                                 params["to_k"]["kernel"],
+                                 params["to_v"]["kernel"]], axis=1)
+        qkv = x @ w_qkv.astype(x.dtype)
+        q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    else:
+        q = L.linear(params["to_q"], x)
+        k = L.linear(params["to_k"], context)
+        v = L.linear(params["to_v"], context)
     d = c // heads
     q = q.reshape(b, n, heads, d).transpose(0, 2, 1, 3)
     k = k.reshape(b, -1, heads, d).transpose(0, 2, 1, 3)
@@ -156,8 +165,10 @@ def spatial_transformer(params, x, context, *, heads, use_linear=False,
     """Flatten NHWC -> (B, H*W, C), run transformer blocks, residual add."""
     b, h, w, c = x.shape
     residual = x
-    # eps 1e-6: ldm/modules/attention.py:88-89 Normalize
-    hidden = L.group_norm(params["norm"], x, num_groups=num_groups, eps=1e-6)
+    # eps 1e-6: ldm/modules/attention.py:88-89 Normalize; single-pass
+    # Pallas GroupNorm (no activation) instead of the multi-pass XLA form
+    hidden = group_norm_silu(params["norm"], x, num_groups=num_groups,
+                             eps=1e-6, apply_silu=False)
     if use_linear:
         hidden = hidden.reshape(b, h * w, c)
         hidden = L.linear(params["proj_in"], hidden)
@@ -196,8 +207,11 @@ def init_upsample(key, channels, dtype=jnp.float32):
 
 
 def upsample(params, x):
+    # 2x nearest as broadcast+reshape: bit-identical to jax.image.resize
+    # "nearest" (verified on chip) without its gather lowering
     b, h, w, c = x.shape
-    x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    x = x.reshape(b, h * 2, w * 2, c)
     return L.conv2d(params["conv"], x, padding=1)
 
 
