@@ -177,6 +177,375 @@ def _gn_silu_bwd(num_groups, eps, apply_silu, res, g):
 _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
+def _erf(x):
+    """erf for Mosaic (no erf/erfc primitive): Abramowitz & Stegun 7.1.26,
+    |error| <= 1.5e-7 — orders of magnitude below the bf16 rounding of the
+    surrounding matmuls."""
+    sign = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    """Exact (erf-based) GELU, matching jax.nn.gelu(approximate=False) up
+    to the _erf approximation error (~1e-7)."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+def _sam_upscale_kernel(src_ref, w1_ref, b1_ref, lnw_ref, lnb_ref, w2_ref,
+                        b2_ref, h_ref, o_ref, *, eps: float):
+    """Fused SAM mask-decoder upscale + hypernetwork products, one point
+    per grid step, everything resident in VMEM.
+
+    The stride-2 2x2 transposed convs are per-input-pixel matmuls (each
+    input pixel independently emits its 2x2 output tile), so the whole
+    chain convT1 -> LayerNorm2d -> GELU -> convT2 -> GELU -> hypernetwork
+    einsum is position-order-independent: no pixel-shuffle relayouts are
+    needed in VMEM; the caller unscrambles the (di,dj,di2,dj2) subgrids
+    with one cheap XLA transpose.
+
+    src_ref (1, 4096, 256): per-point image keys.
+    w1_ref (4, 256, 64):    convT1 kernel, leading dim = (di*2+dj).
+    b1/lnw/lnb (1, 64):     convT1 bias, LayerNorm2d affine.
+    w2_ref (64, 128):       convT2 kernel as (c1) x (di2,dj2,o2).
+    b2_ref (1, 128):        convT2 bias tiled over the 4 (di2,dj2) groups.
+    h_ref (1, 4*nm, 128):   selection (x) hyper matrix: row g*nm+t holds
+                            hyper[t] in lanes [g*32, g*32+32).
+    o_ref (1, 4, 4*nm, 4096): per-(di,dj) mask products.
+    """
+    x = src_ref[0]
+    b1 = b1_ref[0].astype(jnp.float32)
+    lnw = lnw_ref[0].astype(jnp.float32)
+    lnb = lnb_ref[0].astype(jnp.float32)
+    b2 = b2_ref[0].astype(jnp.float32)
+    hyp = h_ref[0].astype(x.dtype)
+    w2 = w2_ref[:].astype(x.dtype)
+    for k in range(4):
+        y = jnp.dot(x, w1_ref[k].astype(x.dtype),
+                    preferred_element_type=jnp.float32) + b1   # (4096, 64)
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(y * y, axis=-1, keepdims=True) - mu * mu
+        y = (y - mu) * jax.lax.rsqrt(var + eps) * lnw + lnb
+        y = _gelu_exact(y)
+        z = jnp.dot(y.astype(x.dtype), w2,
+                    preferred_element_type=jnp.float32) + b2   # (4096, 128)
+        z = _gelu_exact(z)
+        m = jax.lax.dot_general(hyp, z.astype(x.dtype),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, k] = m.astype(o_ref.dtype)                    # (4nm, 4096)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _sam_upscale_pallas(src, w1, b1, lnw, lnb, w2, b2, hsel, eps: float):
+    n, npix, c = src.shape
+    nm16 = hsel.shape[1]
+    kernel = functools.partial(_sam_upscale_kernel, eps=eps)
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, npix, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((4, c, c // 4), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, c // 4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c // 4), lambda i: (0, 0)),
+            pl.BlockSpec((1, c // 4), lambda i: (0, 0)),
+            pl.BlockSpec((c // 4, c // 2), lambda i: (0, 0)),
+            pl.BlockSpec((1, c // 2), lambda i: (0, 0)),
+            pl.BlockSpec((1, nm16, c // 2), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, nm16, npix), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 4, nm16, npix), src.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        interpret=_INTERPRET,
+    )(src, w1, b1, lnw, lnb, w2, b2, hsel)
+
+
+def sam_upscale_hyper(src, up_params, hyper, eps: float = 1e-6):
+    """Fused mask-decoder output path: per-point transposed-conv upscale
+    64->256 + hypernetwork mask products (models/sam.py mask_decoder tail;
+    official SAM MaskDecoder.predict_masks). Returns (B, nm, 256, 256).
+
+    src: (B, 4096, 256) transformer image outputs. up_params: the
+    'output_upscaling' tree {0: convT, 1: LayerNorm2d, 3: convT}.
+    hyper: (B, nm, 32) hypernetwork outputs.
+
+    The XLA path materializes ~0.6 GB of HBM intermediates per 256-point
+    batch (h1 128^2 x 64, h2 256^2 x 32 + gelu/LN passes); the Pallas
+    kernel keeps the whole chain in VMEM. Forward-only (SAM is never
+    trained here); off-TPU falls back to the XLA ops.
+    """
+    b, npix, c = src.shape
+    e = int(npix ** 0.5)
+    nm = hyper.shape[1]
+    k1 = up_params["0"]["kernel"]                 # (2, 2, 256, 64)
+    b1 = up_params["0"]["bias"]
+    k2 = up_params["3"]["kernel"]                 # (2, 2, 64, 32)
+    b2 = up_params["3"]["bias"]
+
+    use_kernel = (not _DISABLED and (_on_tpu() or _INTERPRET)
+                  and c == 256 and npix % 256 == 0)
+    if not use_kernel:
+        from editanything_tpu.models.sam import layer_norm_2d
+        from editanything_tpu.core import layers as L
+        src_img = src.reshape(b, e, e, c)
+        # torch ConvTranspose2d == jax conv_transpose with spatially FLIPPED
+        # taps (jax treats the kernel as a forward-conv kernel); flip so the
+        # output matches the official SAM decoder exactly
+        h = jax.lax.conv_transpose(src_img,
+                                   k1[::-1, ::-1].astype(src.dtype), (2, 2),
+                                   "VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = h + b1.astype(h.dtype)
+        h = layer_norm_2d(up_params["1"], h, eps=eps)
+        h = L.gelu(h)
+        h = jax.lax.conv_transpose(h, k2[::-1, ::-1].astype(h.dtype),
+                                   (2, 2), "VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = h + b2.astype(h.dtype)
+        h = L.gelu(h)
+        return jnp.einsum("bnc,bhwc->bnhw", hyper, h.astype(hyper.dtype))
+
+    # torch ConvTranspose2d semantics: out tile (di,dj) of input pixel i
+    # is src[i] @ K[di,dj] directly (no flip — unlike jax conv_transpose,
+    # whose forward-conv kernel convention the XLA fallback above corrects
+    # by flipping taps)
+    w1 = k1.reshape(4, c, c // 4)                 # (di*2+dj, c, o)
+    w2 = k2.transpose(2, 0, 1, 3).reshape(c // 4, c // 2)
+    b2p = jnp.tile(b2, 4).reshape(1, c // 2)
+    # selection (x) hyper: H[g*nm+t, g*32+o] = hyper[t, o]
+    eye4 = jnp.eye(4, dtype=hyper.dtype)
+    hsel = jnp.einsum("gh,bto->bgtho", eye4, hyper)
+    hsel = hsel.reshape(b, 4 * nm, c // 2)
+
+    o = _sam_upscale_pallas(src, w1, b1.reshape(1, -1),
+                            up_params["1"]["weight"].reshape(1, -1),
+                            up_params["1"]["bias"].reshape(1, -1),
+                            w2, b2p, hsel, eps)
+    # o[b, (di,dj), (di2,dj2,t), (i,j)] -> masks[b, t, 4i+2di+di2, 4j+2dj+dj2]
+    o = o.reshape(b, 2, 2, 2, 2, nm, e, e)
+    o = o.transpose(0, 5, 6, 1, 3, 7, 2, 4)
+    return o.reshape(b, nm, 4 * e, 4 * e)
+
+
+def _twoway_kernel(src_ref, tok_ref, pe_ref, wself_ref, bself_ref,
+                   wselfo_ref, bselfo_ref, wcross_ref, bcross_ref,
+                   wcrosso_ref, bcrosso_ref, wmlp1_ref, bmlp1_ref,
+                   wmlp2_ref, bmlp2_ref, norms_ref, kout_ref, qout_ref, *,
+                   heads: int, n_tokens: int):
+    """SAM's whole two-way transformer for ONE prompt, VMEM-resident.
+
+    The XLA path materializes ~30 MB of HBM intermediates per prompt (the
+    per-prompt (4096, 256) image keys flow through 2.5 blocks of
+    projections, residual adds and LayerNorms); here keys live in VMEM for
+    the full depth — HBM traffic drops to src-in + keys/queries-out.
+
+    Multi-head attention uses the masked-lane trick: scores for head h are
+    (q * mask_h) @ k^T (one full-width matmul per head — ~8x the useful
+    attention-core FLOPs, but the cores are <5% of the kernel's work and
+    this avoids 16-lane slicing relayouts).
+
+    Ref packing (built in sam_twoway): wself (L, 3, d, d) q/k/v;
+    wcross (2L+1, 3, d, d/2) for [t2i_0, i2t_0, t2i_1, i2t_1, final_t2i];
+    norms (4L+1, 2, d); tok_ref is both the initial queries and the
+    query positional term (official SAM query_pe = point_embedding).
+    Rows >= n_tokens of tok_ref are zero padding, masked out of every
+    attention where tokens are keys.
+    """
+    dt = src_ref.dtype
+    f32 = jnp.float32
+    tp = tok_ref.shape[1]
+    tokens0 = tok_ref[0].astype(f32)                   # (TP, d)
+    keys = src_ref[0]                                  # (M, d) dt
+    pe = pe_ref[...].astype(f32)                       # (M, d)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    tok_key_bias = jnp.where(col_ids < n_tokens, 0.0, -1e30)
+
+    def linear(x, w, b):
+        return jnp.dot(x.astype(dt), w.astype(dt),
+                       preferred_element_type=f32) + b.astype(f32)
+
+    def ln(x, wb):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * \
+            wb[0].astype(f32) + wb[1].astype(f32)
+
+    def mh_attn(qx, kx, vx, key_bias=None):
+        nq, inner = qx.shape
+        hd = inner // heads
+        scale = 1.0 / (hd ** 0.5)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, inner), 1)
+        out = jnp.zeros((nq, inner), f32)
+        for h in range(heads):
+            m = ((ids >= h * hd) & (ids < (h + 1) * hd)).astype(f32)
+            s = jax.lax.dot_general(
+                (qx * m).astype(dt), kx.astype(dt),
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            s = s * scale
+            if key_bias is not None:
+                s = s + key_bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = out + jnp.dot(p.astype(dt), (vx * m).astype(dt),
+                                preferred_element_type=f32)
+        return out
+
+    q = tokens0
+    n_layers = wself_ref.shape[0]
+    for l in range(n_layers):
+        # --- token self-attention
+        if l == 0:
+            # skip_first_layer_pe: REPLACES queries, no residual
+            a = mh_attn(linear(q, wself_ref[0, 0], bself_ref[0, 0]),
+                        linear(q, wself_ref[0, 1], bself_ref[0, 1]),
+                        linear(q, wself_ref[0, 2], bself_ref[0, 2]),
+                        tok_key_bias)
+            q = linear(a, wselfo_ref[0], bselfo_ref[0])
+        else:
+            qpe = q + tokens0
+            a = mh_attn(linear(qpe, wself_ref[l, 0], bself_ref[l, 0]),
+                        linear(qpe, wself_ref[l, 1], bself_ref[l, 1]),
+                        linear(q, wself_ref[l, 2], bself_ref[l, 2]),
+                        tok_key_bias)
+            q = q + linear(a, wselfo_ref[l], bselfo_ref[l])
+        q = ln(q, norms_ref[4 * l + 0])
+
+        # --- cross attention token -> image
+        ci = 2 * l
+        qpe = q + tokens0
+        kpe = keys.astype(f32) + pe
+        a = mh_attn(linear(qpe, wcross_ref[ci, 0], bcross_ref[ci, 0]),
+                    linear(kpe, wcross_ref[ci, 1], bcross_ref[ci, 1]),
+                    linear(keys, wcross_ref[ci, 2], bcross_ref[ci, 2]))
+        q = q + linear(a, wcrosso_ref[ci], bcrosso_ref[ci])
+        q = ln(q, norms_ref[4 * l + 1])
+
+        # --- token MLP (ReLU)
+        h1 = jnp.maximum(linear(q, wmlp1_ref[l], bmlp1_ref[l]), 0.0)
+        q = q + linear(h1, wmlp2_ref[l], bmlp2_ref[l])
+        q = ln(q, norms_ref[4 * l + 2])
+
+        # --- cross attention image -> token
+        qpe = q + tokens0
+        kpe = keys.astype(f32) + pe
+        a = mh_attn(linear(kpe, wcross_ref[ci + 1, 0], bcross_ref[ci + 1, 0]),
+                    linear(qpe, wcross_ref[ci + 1, 1], bcross_ref[ci + 1, 1]),
+                    linear(q, wcross_ref[ci + 1, 2], bcross_ref[ci + 1, 2]),
+                    tok_key_bias)
+        keys_new = keys.astype(f32) + linear(a, wcrosso_ref[ci + 1],
+                                             bcrosso_ref[ci + 1])
+        keys = ln(keys_new, norms_ref[4 * l + 3]).astype(dt)
+
+    # --- final token -> image attention + norm
+    fi = 2 * n_layers
+    qpe = q + tokens0
+    kpe = keys.astype(f32) + pe
+    a = mh_attn(linear(qpe, wcross_ref[fi, 0], bcross_ref[fi, 0]),
+                linear(kpe, wcross_ref[fi, 1], bcross_ref[fi, 1]),
+                linear(keys, wcross_ref[fi, 2], bcross_ref[fi, 2]))
+    q = q + linear(a, wcrosso_ref[fi], bcrosso_ref[fi])
+    q = ln(q, norms_ref[4 * n_layers])
+
+    kout_ref[0] = keys
+    qout_ref[0] = q.astype(dt)
+
+
+def _pack_twoway_params(tp, n_layers):
+    """transformer param tree -> stacked arrays for the kernel."""
+    def attn_w(a):
+        return (jnp.stack([a["q_proj"]["kernel"], a["k_proj"]["kernel"],
+                           a["v_proj"]["kernel"]]),
+                jnp.stack([a["q_proj"]["bias"], a["k_proj"]["bias"],
+                           a["v_proj"]["bias"]]),
+                a["out_proj"]["kernel"], a["out_proj"]["bias"])
+
+    wself, bself, wselfo, bselfo = [], [], [], []
+    wcross, bcross, wcrosso, bcrosso = [], [], [], []
+    wmlp1, bmlp1, wmlp2, bmlp2, norms = [], [], [], [], []
+    for l in range(n_layers):
+        lay = tp["layers"][str(l)]
+        w, b, wo, bo = attn_w(lay["self_attn"])
+        wself.append(w); bself.append(b)
+        wselfo.append(wo); bselfo.append(bo)
+        for name in ("cross_attn_token_to_image", "cross_attn_image_to_token"):
+            w, b, wo, bo = attn_w(lay[name])
+            wcross.append(w); bcross.append(b)
+            wcrosso.append(wo); bcrosso.append(bo)
+        wmlp1.append(lay["mlp"]["lin1"]["kernel"])
+        bmlp1.append(lay["mlp"]["lin1"]["bias"])
+        wmlp2.append(lay["mlp"]["lin2"]["kernel"])
+        bmlp2.append(lay["mlp"]["lin2"]["bias"])
+        for j in range(1, 5):
+            norms.append(jnp.stack([lay[f"norm{j}"]["scale"],
+                                    lay[f"norm{j}"]["bias"]]))
+    w, b, wo, bo = attn_w(tp["final_attn_token_to_image"])
+    wcross.append(w); bcross.append(b)
+    wcrosso.append(wo); bcrosso.append(bo)
+    norms.append(jnp.stack([tp["norm_final_attn"]["scale"],
+                            tp["norm_final_attn"]["bias"]]))
+    return tuple(jnp.stack(a) for a in
+                 (wself, bself, wselfo, bselfo, wcross, bcross, wcrosso,
+                  bcrosso, wmlp1, bmlp1, wmlp2, bmlp2, norms))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "n_tokens"))
+def _twoway_pallas(src, tokens_padded, pe, packed, heads: int,
+                   n_tokens: int):
+    b, tp, d = tokens_padded.shape
+    m = src.shape[1]
+    kernel = functools.partial(_twoway_kernel, heads=heads,
+                               n_tokens=n_tokens)
+    from jax.experimental.pallas import tpu as pltpu
+    const = lambda *nd: pl.BlockSpec(nd, lambda i: (0,) * len(nd))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            const(1, m, d),                              # src (shared)
+            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0)),
+            const(m, d),                                 # image pe
+        ] + [const(*w.shape) for w in packed],
+        out_specs=[
+            pl.BlockSpec((1, m, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, d), src.dtype),
+            jax.ShapeDtypeStruct((b, tp, d), src.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        interpret=_INTERPRET,
+    )(src, tokens_padded, pe, *packed)
+
+
+def sam_twoway(transformer_params, src1, image_pe, tokens, *, heads: int):
+    """Fused SAM two-way transformer (models/sam.py mask_decoder; official
+    segment_anything TwoWayTransformer). Forward-only.
+
+    src1: (1, M, d) image keys SHARED by every prompt (image embedding +
+    no-mask dense embedding — the AMG / point-predictor case).
+    tokens: (B, T, d) output+prompt tokens (also the query positional term).
+    Returns (queries (B, T, d), keys (B, M, d)).
+    """
+    b, t, d = tokens.shape
+    tp = max(8, -(-t // 8) * 8)
+    tokens_p = jnp.pad(tokens, ((0, 0), (0, tp - t), (0, 0)))
+    packed = _pack_twoway_params(transformer_params,
+                                 len(transformer_params["layers"]))
+    kout, qout = _twoway_pallas(src1, tokens_p, image_pe[0], packed,
+                                heads, t)
+    return qout[:, :t], kout
+
+
 def group_norm_silu(params, x, *, num_groups: int = 32, eps: float = 1e-5,
                     apply_silu: bool = True):
     """Fused GroupNorm(+SiLU); XLA fallback off-TPU / for huge blocks.

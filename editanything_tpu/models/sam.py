@@ -156,12 +156,17 @@ def _attention_with_rel_pos(p, x, num_heads, rel_hw):
     rw = _rel_pos_bias(p["rel_pos_w"], w, w).astype(jnp.float32)  # (w, w, hd)
     qf = q.reshape(b, num_heads, h, w, hd).astype(jnp.float32)
     # decomposed rel-pos (Wu et al.): bias added per-row and per-column;
-    # note torch SAM does NOT scale the rel-pos term by 1/sqrt(d)
-    bias_h = jnp.einsum("bxhwd,hkd->bxhwk", qf, rh)
-    bias_w = jnp.einsum("bxhwd,wkd->bxhwk", qf, rw)
-    logits = logits.reshape(b, num_heads, h, w, h, w)
-    logits = logits + bias_h[..., :, None] + bias_w[..., None, :]
-    logits = logits.reshape(b, num_heads, h * w, h * w)
+    # note torch SAM does NOT scale the rel-pos term by 1/sqrt(d).
+    # TPU layout: the bias add stays in the flat (N, N) layout — the naive
+    # rank-6 (b, nh, h, w, h, w) broadcast puts w=14 in the lane dimension
+    # (padded 14 -> 128, ~9x the memory traffic; measured 3.4 ms of the
+    # windowed ViT-H block's 4.5 ms before this rewrite).
+    bias_h = jnp.einsum("bxhwd,hkd->bxhwk", qf, rh)   # (b, nh, h, w, h)
+    bias_w = jnp.einsum("bxhwd,wkd->bxhwk", qf, rw)   # (b, nh, h, w, w)
+    # logits[(y,x), (k,l)] += bias_h[y,x,k] + bias_w[y,x,l]
+    bias = jnp.repeat(bias_h.reshape(b, num_heads, h * w, h), w, axis=-1) \
+        + jnp.tile(bias_w.reshape(b, num_heads, h * w, w), (1, 1, 1, h))
+    logits = logits + bias
 
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
@@ -401,7 +406,10 @@ def init_mask_decoder(key, cfg: SAMConfig, dtype=jnp.float32):
         "output_hypernetworks_mlps": {
             str(i): _mlp_params(nxt(), [d, d, d, d // 8], dtype)
             for i in range(nm)},
-        "iou_prediction_head": _mlp_params(nxt(), [d, d, nm], dtype),
+        # official: MLP(transformer_dim, iou_head_hidden_dim=256,
+        # num_mask_tokens, iou_head_depth=3) — 3 linear layers. All released
+        # SAM variants have prompt_embed_dim == iou_head_hidden_dim == 256.
+        "iou_prediction_head": _mlp_params(nxt(), [d, d, d, nm], dtype),
     }
 
 
@@ -420,11 +428,79 @@ def _decoder_attention(p, q, k, v, num_heads):
     return L.linear(p["out_proj"], out)
 
 
+def _split_heads(x, num_heads):
+    b, n, inner = x.shape
+    return x.reshape(b, n, num_heads, inner // num_heads).transpose(0, 2, 1, 3)
+
+
+def _two_way_block_shared_entry(p, queries, keys1, query_pe, key_pe1,
+                                num_heads):
+    """First two-way block when every prompt in the batch sees IDENTICAL
+    image-side keys (the AMG case: keys = image embedding + the no-mask
+    dense embedding, both prompt-independent). The image-side projections
+    (k/v of token-to-image, q of image-to-token) are then computed ONCE at
+    batch 1 instead of per prompt — ~30% of the decoder batch's matmul
+    FLOPs — and the attention cores broadcast over the batch. Exact same
+    math as `_two_way_block` (block 0 has skip_first_layer_pe=True);
+    returns per-batch keys (they diverge at this block's image update).
+
+    keys1/key_pe1: (1, M, d). queries: (B, T, d)."""
+    b = queries.shape[0]
+
+    # self-attn on tokens (skip_first_layer_pe=True form: REPLACES queries,
+    # no residual — official SAM transformer.py)
+    queries = _decoder_attention(p["self_attn"], queries,
+                                 queries, queries, num_heads)
+    queries = L.layer_norm(p["norm1"], queries)
+
+    # cross-attn token -> image with shared k/v
+    pa = p["cross_attn_token_to_image"]
+    q = L.linear(pa["q_proj"], queries + query_pe)
+    k1 = L.linear(pa["k_proj"], keys1 + key_pe1)
+    v1 = L.linear(pa["v_proj"], keys1)
+    inner = q.shape[-1]
+    hd = inner // num_heads
+    qh = _split_heads(q, num_heads)                      # (B, H, T, hd)
+    kh = _split_heads(k1, num_heads)[0]                  # (H, M, hd)
+    vh = _split_heads(v1, num_heads)[0]
+    logits = jnp.einsum("bhtd,hmd->bhtm", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhtm,hmd->bhtd", probs, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
+    queries = queries + L.linear(pa["out_proj"], out)
+    queries = L.layer_norm(p["norm2"], queries)
+
+    h = L.linear(p["mlp"]["lin1"], queries)
+    h = jax.nn.relu(h)
+    queries = queries + L.linear(p["mlp"]["lin2"], h)
+    queries = L.layer_norm(p["norm3"], queries)
+
+    # cross-attn image -> token: q projection of the (shared) keys once
+    pb = p["cross_attn_image_to_token"]
+    q1 = L.linear(pb["q_proj"], keys1 + key_pe1)
+    kq = L.linear(pb["k_proj"], queries + query_pe)      # per prompt
+    vq = L.linear(pb["v_proj"], queries)
+    q1h = _split_heads(q1, num_heads)[0]                 # (H, M, hd)
+    kqh = _split_heads(kq, num_heads)                    # (B, H, T, hd)
+    vqh = _split_heads(vq, num_heads)
+    logits = jnp.einsum("hmd,bhtd->bhmt", q1h, kqh,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vqh.dtype)
+    out = jnp.einsum("bhmt,bhtd->bhmd", probs, vqh)
+    out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
+    keys = keys1 + L.linear(pb["out_proj"], out)         # broadcasts to B
+    keys = L.layer_norm(p["norm4"], keys)
+    return queries, keys
+
+
 def _two_way_block(p, queries, keys, query_pe, key_pe, num_heads,
                    skip_first_layer_pe):
     if skip_first_layer_pe:
-        queries = queries + _decoder_attention(p["self_attn"], queries,
-                                               queries, queries, num_heads)
+        # official SAM REPLACES queries here (no residual add):
+        # segment_anything/modeling/transformer.py TwoWayAttentionBlock
+        queries = _decoder_attention(p["self_attn"], queries,
+                                     queries, queries, num_heads)
     else:
         q = queries + query_pe
         attn = _decoder_attention(p["self_attn"], q, q, queries, num_heads)
@@ -455,13 +531,19 @@ def mask_decoder(params, cfg: SAMConfig, image_embedding, image_pe,
     """Predict masks for a batch of prompts against one image embedding.
 
     image_embedding: (1, 64, 64, 256); sparse_prompts: (B, P, 256);
-    dense_prompts: (B, 64, 64, 256).
+    dense_prompts: (B, 64, 64, 256) — or (1, 64, 64, 256) to mark the
+    image-side input as identical for every prompt in the batch, which
+    routes the first two-way block through `_two_way_block_shared_entry`
+    (image-side projections computed once; exact same math). The AMG's
+    3072-point grid decode uses this: its dense prompt is always the
+    no-mask embedding.
     Returns (mask_logits (B, 4, 256, 256), iou_pred (B, 4)).
     """
     p = params
     d = cfg.prompt_embed_dim
     b = sparse_prompts.shape[0]
     nm = cfg.num_multimask_outputs + 1
+    shared = dense_prompts.shape[0] == 1 and b > 1
 
     tokens = jnp.concatenate([
         jnp.broadcast_to(p["iou_token"]["weight"][None], (b, 1, d)),
@@ -469,45 +551,52 @@ def mask_decoder(params, cfg: SAMConfig, image_embedding, image_pe,
         sparse_prompts], axis=1)
 
     e = cfg.embedding_size
-    src = jnp.broadcast_to(image_embedding, (b, e, e, d)) + dense_prompts
-    src = src.reshape(b, e * e, d)
-    pos = jnp.broadcast_to(image_pe, (b, e, e, d)).reshape(b, e * e, d)
+    kb = 1 if shared else b
+    src = jnp.broadcast_to(image_embedding, (kb, e, e, d)) + dense_prompts
+    src = src.reshape(kb, e * e, d)
+    pos1 = image_pe.reshape(1, e * e, d)
 
-    queries, keys = tokens, src
-    for i in range(cfg.decoder_depth):
-        queries, keys = _two_way_block(
-            p["transformer"]["layers"][str(i)], queries, keys, tokens, pos,
-            cfg.decoder_heads, skip_first_layer_pe=(i == 0))
-    q = queries + tokens
-    k = keys + pos
-    queries = queries + _decoder_attention(
-        p["transformer"]["final_attn_token_to_image"], q, k, keys,
-        cfg.decoder_heads)
-    queries = L.layer_norm(p["transformer"]["norm_final_attn"], queries)
+    from editanything_tpu.core import kernels as K
+    use_twoway_kernel = (dense_prompts.shape[0] == 1
+                         and not K._DISABLED
+                         and (K._on_tpu() or K._INTERPRET))
+    if use_twoway_kernel:
+        # whole two-way transformer as one VMEM-resident Pallas program
+        # (core/kernels.py sam_twoway); src is prompt-independent here so
+        # the kernel streams only tokens per prompt
+        src1 = jnp.broadcast_to(src, (1, e * e, d))
+        queries, keys = K.sam_twoway(p["transformer"], src1, pos1, tokens,
+                                     heads=cfg.decoder_heads)
+    else:
+        pos = jnp.broadcast_to(pos1, (b, e * e, d))
+        queries, keys = tokens, src
+        for i in range(cfg.decoder_depth):
+            if i == 0 and shared:
+                queries, keys = _two_way_block_shared_entry(
+                    p["transformer"]["layers"]["0"], queries, keys, tokens,
+                    pos[:1], cfg.decoder_heads)
+                continue
+            queries, keys = _two_way_block(
+                p["transformer"]["layers"][str(i)], queries, keys, tokens,
+                pos, cfg.decoder_heads, skip_first_layer_pe=(i == 0))
+        q = queries + tokens
+        k = keys + pos
+        queries = queries + _decoder_attention(
+            p["transformer"]["final_attn_token_to_image"], q, k, keys,
+            cfg.decoder_heads)
+        queries = L.layer_norm(p["transformer"]["norm_final_attn"], queries)
 
     iou_token_out = queries[:, 0]
     mask_tokens_out = queries[:, 1:1 + nm]
 
-    # upscale image features 64 -> 256 with transposed convs
-    src_img = keys.reshape(b, e, e, d)
-    up = p["output_upscaling"]
-    h = jax.lax.conv_transpose(src_img, up["0"]["kernel"].astype(src_img.dtype),
-                               (2, 2), "VALID",
-                               dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    h = h + up["0"]["bias"].astype(h.dtype)
-    h = layer_norm_2d(up["1"], h)
-    h = L.gelu(h)
-    h = jax.lax.conv_transpose(h, up["3"]["kernel"].astype(h.dtype),
-                               (2, 2), "VALID",
-                               dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    h = h + up["3"]["bias"].astype(h.dtype)
-    h = L.gelu(h)                                   # (B, 256, 256, 32)
-
     hyper = jnp.stack([
         _mlp(p["output_hypernetworks_mlps"][str(i)], mask_tokens_out[:, i])
         for i in range(nm)], axis=1)                # (B, nm, 32)
-    hw = h.shape[1]
-    masks = jnp.einsum("bnc,bhwc->bnhw", hyper, h.astype(hyper.dtype))
+    # upscale 64 -> 256 (2x stride-2 transposed convs + LN + GELU) and the
+    # hypernetwork mask products, fused in one VMEM-resident Pallas kernel
+    # (XLA fallback off-TPU / non-standard widths — core/kernels.py)
+    from editanything_tpu.core.kernels import sam_upscale_hyper
+    masks = sam_upscale_hyper(keys, p["output_upscaling"], hyper)
     iou_pred = _mlp(p["iou_prediction_head"], iou_token_out)
     return masks, iou_pred
 

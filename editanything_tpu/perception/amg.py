@@ -180,8 +180,11 @@ def build_amg(sam_cfg: SAM.SAMConfig, amg_cfg: AMGConfig):
         labels = jnp.ones((p, 1), jnp.int32)
         sparse = SAM.encode_points(params["prompt_encoder"], sam_cfg,
                                    coords, labels)
+        # batch-1 dense prompt: every grid point uses the no-mask embedding,
+        # which routes mask_decoder's first two-way block through the
+        # shared-image-side fast path (~30% of decode matmul FLOPs)
         dense = SAM.no_mask_dense_embedding(params["prompt_encoder"],
-                                            sam_cfg, p)
+                                            sam_cfg, 1)
         masks, iou = SAM.mask_decoder(params["mask_decoder"], sam_cfg,
                                       embedding, image_pe, sparse, dense)
         # multimask outputs: tokens 1..3 (token 0 is the single-mask head)

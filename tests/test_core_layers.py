@@ -173,3 +173,38 @@ class TestKernelGradients:
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-3)
+
+
+def test_sam_upscale_hyper_kernel_matches_xla():
+    """Fused mask-decoder upscale+hypernetwork kernel (interpret mode on
+    CPU) vs the conv_transpose XLA fallback — exact same math."""
+    from editanything_tpu.core import kernels as K
+    rng = np.random.default_rng(0)
+    b, npix, c, nm = 2, 4096, 256, 4
+    src = jnp.asarray(rng.normal(0, 1, (b, npix, c)).astype(np.float32))
+    hyper = jnp.asarray(rng.normal(0, 1, (b, nm, 32)).astype(np.float32))
+    up = {
+        "0": {"kernel": jnp.asarray(
+                  rng.normal(0, .1, (2, 2, 256, 64)).astype(np.float32)),
+              "bias": jnp.asarray(
+                  rng.normal(0, .1, (64,)).astype(np.float32))},
+        "1": {"weight": jnp.asarray(
+                  rng.normal(1, .1, (64,)).astype(np.float32)),
+              "bias": jnp.asarray(
+                  rng.normal(0, .1, (64,)).astype(np.float32))},
+        "3": {"kernel": jnp.asarray(
+                  rng.normal(0, .1, (2, 2, 64, 32)).astype(np.float32)),
+              "bias": jnp.asarray(
+                  rng.normal(0, .1, (32,)).astype(np.float32))},
+    }
+    got = K.sam_upscale_hyper(src, up, hyper)
+    assert got.shape == (b, nm, 256, 256)
+    old = K._DISABLED
+    try:
+        K._DISABLED = True
+        want = K.sam_upscale_hyper(src, up, hyper)
+    finally:
+        K._DISABLED = old
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * scale, rtol=1e-4)

@@ -302,3 +302,27 @@ def test_bitmatch_harness_smoke(tmp_path):
     assert report["matched"] == report["ours"] == report["golden"]
     assert report["bit_exact"] == report["matched"]
     assert report["mean_iou"] == pytest.approx(1.0)
+
+
+def test_mask_decoder_shared_entry_matches_batched(params):
+    """dense_prompts of batch 1 routes block 0 through the shared-image-side
+    fast path; outputs must match the per-prompt batched path exactly (same
+    math, different broadcasting)."""
+    b = 5
+    key = jax.random.PRNGKey(7)
+    emb = jax.random.normal(key, (1, 8, 8, 16))
+    image_pe = SAM.dense_positional_encoding(params["prompt_encoder"], TINY)
+    coords = jax.random.uniform(jax.random.PRNGKey(8), (b, 1, 2)) * 64
+    labels = jnp.ones((b, 1), jnp.int32)
+    sparse = SAM.encode_points(params["prompt_encoder"], TINY, coords, labels)
+    dense1 = SAM.no_mask_dense_embedding(params["prompt_encoder"], TINY, 1)
+    denseb = SAM.no_mask_dense_embedding(params["prompt_encoder"], TINY, b)
+
+    m_shared, iou_shared = SAM.mask_decoder(
+        params["mask_decoder"], TINY, emb, image_pe, sparse, dense1)
+    m_full, iou_full = SAM.mask_decoder(
+        params["mask_decoder"], TINY, emb, image_pe, sparse, denseb)
+    np.testing.assert_allclose(np.asarray(m_shared), np.asarray(m_full),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(iou_shared), np.asarray(iou_full),
+                               rtol=1e-4, atol=1e-4)
