@@ -108,10 +108,13 @@ class SamPredictor:
         """(K, 256, 256) logits -> (K, H_orig, W_orig), matching the torch
         postprocess: resize to padded 1024, crop the unpadded region,
         resize to the original size."""
+        from editanything_tpu.perception.amg import upscale_masks
         k = lowres.shape[0]
         s = self.cfg.img_size
         nh, nw = self._input_hw
         oh, ow = self._orig_hw
-        up = jax.image.resize(lowres, (k, s, s), method="bilinear")
+        # separable-matmul bilinear (amg.upscale_masks): identical weights
+        # to jax.image.resize without its gather lowering
+        up = upscale_masks(lowres, (s, s))
         up = up[:, :nh, :nw]
-        return jax.image.resize(up, (k, oh, ow), method="bilinear")
+        return upscale_masks(up, (oh, ow))

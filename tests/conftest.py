@@ -31,7 +31,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 # ---------------------------------------------------------------------------
-# Test tiers. The full suite takes ~40 min on this box (interpret-mode
+# Test tiers. The full suite takes ~36 min on this box (interpret-mode
 # Pallas + 8-device virtual mesh); `-m smoke` is a <2-min subset with at
 # least one broad test per subsystem:
 #     python -m pytest tests/ -m smoke -q
