@@ -217,6 +217,17 @@ def reference_call_to_kwargs(ref_args, ref_kwargs=None) -> dict:
     return out
 
 
+def is_reference_capture(pos, kwargs) -> bool:
+    """Reference-format detection keys on reference-ONLY markers: native
+    EA_SAVE_INPUTS captures share many kwarg names with the reference
+    (a_prompt, num_samples, seed, ...) but always carry the native required
+    kwarg `image` and never positional args or the reference's
+    `source_image` first parameter."""
+    return bool(pos) or "source_image" in kwargs or (
+        "image" not in kwargs
+        and any(k in REF_PROCESS_PARAMS for k in kwargs))
+
+
 def cmd_replay(args):
     """Re-run a pickled process() invocation headless
     (editany_nogradio.py:1-16 semantics). Accepts BOTH pickle layouts:
@@ -228,7 +239,7 @@ def cmd_replay(args):
         data = pickle.load(f)
     pos = tuple(data.get("args", ()))
     kwargs = dict(data.get("kwargs", {}))
-    if pos or any(k in REF_PROCESS_PARAMS for k in kwargs):
+    if is_reference_capture(pos, kwargs):
         kwargs = reference_call_to_kwargs(pos, kwargs)
     tile, results, _, prompt = editor.process(**kwargs)
     print("prompt:", prompt)

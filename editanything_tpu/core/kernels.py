@@ -139,6 +139,14 @@ def _gn_silu_pallas(x, scale, bias, num_groups: int, eps: float,
     )(x, scale, bias)
 
 
+def _big_vmem() -> bool:
+    """True when the local part has the 128 MiB VMEM the SAM decode
+    kernels' working sets (keys + packed weights + f32 intermediates,
+    ~30 MB at ViT-H scale) were sized for; small/unknown parts take the
+    XLA fallback instead of VMEM-OOMing at Mosaic compile time."""
+    return _vmem_bytes() >= 64 * 1024 * 1024
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -288,7 +296,7 @@ def sam_upscale_hyper(src, up_params, hyper, eps: float = 1e-6):
     k2 = up_params["3"]["kernel"]                 # (2, 2, 64, 32)
     b2 = up_params["3"]["bias"]
 
-    use_kernel = (not _DISABLED and (_on_tpu() or _INTERPRET)
+    use_kernel = (not _DISABLED and (_INTERPRET or (_on_tpu() and _big_vmem()))
                   and c == 256 and npix % 256 == 0)
     if not use_kernel:
         from editanything_tpu.models.sam import layer_norm_2d
@@ -527,7 +535,17 @@ def _twoway_pallas(src, tokens_padded, pe, packed, heads: int,
     )(src, tokens_padded, pe, *packed)
 
 
-def sam_twoway(transformer_params, src1, image_pe, tokens, *, heads: int):
+def pack_twoway(transformer_params):
+    """Pre-stack the two-way transformer weights for `sam_twoway`. Callers
+    that invoke the kernel inside a scan (the AMG's batched decode) hoist
+    this OUT of the scan body — the stacking is ~5-8 MB of copies that XLA
+    does not reliably loop-invariant-hoist out of while loops."""
+    return _pack_twoway_params(transformer_params,
+                               len(transformer_params["layers"]))
+
+
+def sam_twoway(transformer_params, src1, image_pe, tokens, *, heads: int,
+               packed=None):
     """Fused SAM two-way transformer (models/sam.py mask_decoder; official
     segment_anything TwoWayTransformer). Forward-only.
 
@@ -539,8 +557,8 @@ def sam_twoway(transformer_params, src1, image_pe, tokens, *, heads: int):
     b, t, d = tokens.shape
     tp = max(8, -(-t // 8) * 8)
     tokens_p = jnp.pad(tokens, ((0, 0), (0, tp - t), (0, 0)))
-    packed = _pack_twoway_params(transformer_params,
-                                 len(transformer_params["layers"]))
+    if packed is None:
+        packed = pack_twoway(transformer_params)
     kout, qout = _twoway_pallas(src1, tokens_p, image_pe[0], packed,
                                 heads, t)
     return qout[:, :t], kout

@@ -428,72 +428,6 @@ def _decoder_attention(p, q, k, v, num_heads):
     return L.linear(p["out_proj"], out)
 
 
-def _split_heads(x, num_heads):
-    b, n, inner = x.shape
-    return x.reshape(b, n, num_heads, inner // num_heads).transpose(0, 2, 1, 3)
-
-
-def _two_way_block_shared_entry(p, queries, keys1, query_pe, key_pe1,
-                                num_heads):
-    """First two-way block when every prompt in the batch sees IDENTICAL
-    image-side keys (the AMG case: keys = image embedding + the no-mask
-    dense embedding, both prompt-independent). The image-side projections
-    (k/v of token-to-image, q of image-to-token) are then computed ONCE at
-    batch 1 instead of per prompt — ~30% of the decoder batch's matmul
-    FLOPs — and the attention cores broadcast over the batch. Exact same
-    math as `_two_way_block` (block 0 has skip_first_layer_pe=True);
-    returns per-batch keys (they diverge at this block's image update).
-
-    keys1/key_pe1: (1, M, d). queries: (B, T, d)."""
-    b = queries.shape[0]
-
-    # self-attn on tokens (skip_first_layer_pe=True form: REPLACES queries,
-    # no residual — official SAM transformer.py)
-    queries = _decoder_attention(p["self_attn"], queries,
-                                 queries, queries, num_heads)
-    queries = L.layer_norm(p["norm1"], queries)
-
-    # cross-attn token -> image with shared k/v
-    pa = p["cross_attn_token_to_image"]
-    q = L.linear(pa["q_proj"], queries + query_pe)
-    k1 = L.linear(pa["k_proj"], keys1 + key_pe1)
-    v1 = L.linear(pa["v_proj"], keys1)
-    inner = q.shape[-1]
-    hd = inner // num_heads
-    qh = _split_heads(q, num_heads)                      # (B, H, T, hd)
-    kh = _split_heads(k1, num_heads)[0]                  # (H, M, hd)
-    vh = _split_heads(v1, num_heads)[0]
-    logits = jnp.einsum("bhtd,hmd->bhtm", qh, kh,
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhtm,hmd->bhtd", probs, vh)
-    out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
-    queries = queries + L.linear(pa["out_proj"], out)
-    queries = L.layer_norm(p["norm2"], queries)
-
-    h = L.linear(p["mlp"]["lin1"], queries)
-    h = jax.nn.relu(h)
-    queries = queries + L.linear(p["mlp"]["lin2"], h)
-    queries = L.layer_norm(p["norm3"], queries)
-
-    # cross-attn image -> token: q projection of the (shared) keys once
-    pb = p["cross_attn_image_to_token"]
-    q1 = L.linear(pb["q_proj"], keys1 + key_pe1)
-    kq = L.linear(pb["k_proj"], queries + query_pe)      # per prompt
-    vq = L.linear(pb["v_proj"], queries)
-    q1h = _split_heads(q1, num_heads)[0]                 # (H, M, hd)
-    kqh = _split_heads(kq, num_heads)                    # (B, H, T, hd)
-    vqh = _split_heads(vq, num_heads)
-    logits = jnp.einsum("hmd,bhtd->bhmt", q1h, kqh,
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vqh.dtype)
-    out = jnp.einsum("bhmt,bhtd->bhmd", probs, vqh)
-    out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
-    keys = keys1 + L.linear(pb["out_proj"], out)         # broadcasts to B
-    keys = L.layer_norm(p["norm4"], keys)
-    return queries, keys
-
-
 def _two_way_block(p, queries, keys, query_pe, key_pe, num_heads,
                    skip_first_layer_pe):
     if skip_first_layer_pe:
@@ -527,16 +461,17 @@ def _two_way_block(p, queries, keys, query_pe, key_pe, num_heads,
 
 
 def mask_decoder(params, cfg: SAMConfig, image_embedding, image_pe,
-                 sparse_prompts, dense_prompts):
+                 sparse_prompts, dense_prompts, *, twoway_packed=None):
     """Predict masks for a batch of prompts against one image embedding.
 
     image_embedding: (1, 64, 64, 256); sparse_prompts: (B, P, 256);
     dense_prompts: (B, 64, 64, 256) — or (1, 64, 64, 256) to mark the
     image-side input as identical for every prompt in the batch, which
-    routes the first two-way block through `_two_way_block_shared_entry`
-    (image-side projections computed once; exact same math). The AMG's
+    routes the whole two-way transformer through the VMEM-resident Pallas
+    kernel (core/kernels.py sam_twoway; exact same math). The AMG's
     3072-point grid decode uses this: its dense prompt is always the
-    no-mask embedding.
+    no-mask embedding. `twoway_packed`: pre-stacked kernel weights
+    (kernels.pack_twoway) for callers invoking this inside a scan.
     Returns (mask_logits (B, 4, 256, 256), iou_pred (B, 4)).
     """
     p = params
@@ -559,23 +494,22 @@ def mask_decoder(params, cfg: SAMConfig, image_embedding, image_pe,
     from editanything_tpu.core import kernels as K
     use_twoway_kernel = (dense_prompts.shape[0] == 1
                          and not K._DISABLED
-                         and (K._on_tpu() or K._INTERPRET))
+                         and (K._INTERPRET
+                              or (K._on_tpu() and K._big_vmem())))
     if use_twoway_kernel:
         # whole two-way transformer as one VMEM-resident Pallas program
         # (core/kernels.py sam_twoway); src is prompt-independent here so
-        # the kernel streams only tokens per prompt
-        src1 = jnp.broadcast_to(src, (1, e * e, d))
-        queries, keys = K.sam_twoway(p["transformer"], src1, pos1, tokens,
-                                     heads=cfg.decoder_heads)
+        # the kernel streams only tokens per prompt. `twoway_packed` lets
+        # scan-body callers (the AMG) hoist the weight stacking.
+        queries, keys = K.sam_twoway(p["transformer"], src, pos1, tokens,
+                                     heads=cfg.decoder_heads,
+                                     packed=twoway_packed)
     else:
+        if shared:
+            src = jnp.broadcast_to(src, (b, e * e, d))
         pos = jnp.broadcast_to(pos1, (b, e * e, d))
         queries, keys = tokens, src
         for i in range(cfg.decoder_depth):
-            if i == 0 and shared:
-                queries, keys = _two_way_block_shared_entry(
-                    p["transformer"]["layers"]["0"], queries, keys, tokens,
-                    pos[:1], cfg.decoder_heads)
-                continue
             queries, keys = _two_way_block(
                 p["transformer"]["layers"][str(i)], queries, keys, tokens,
                 pos, cfg.decoder_heads, skip_first_layer_pe=(i == 0))

@@ -173,7 +173,7 @@ def build_amg(sam_cfg: SAM.SAMConfig, amg_cfg: AMGConfig):
     def encode_fn(params, image):
         return SAM.image_encoder(params["image_encoder"], sam_cfg, image)
 
-    def decode_batch(params, embedding, image_pe, pts):
+    def decode_batch(params, embedding, image_pe, pts, twoway_packed):
         """pts (P, 2) -> per-candidate (3P, 256, 256) logits + scores."""
         p = pts.shape[0]
         coords = pts[:, None, :]                      # (P, 1, 2)
@@ -181,12 +181,13 @@ def build_amg(sam_cfg: SAM.SAMConfig, amg_cfg: AMGConfig):
         sparse = SAM.encode_points(params["prompt_encoder"], sam_cfg,
                                    coords, labels)
         # batch-1 dense prompt: every grid point uses the no-mask embedding,
-        # which routes mask_decoder's first two-way block through the
-        # shared-image-side fast path (~30% of decode matmul FLOPs)
+        # which routes the decode through the VMEM-resident two-way
+        # transformer kernel (core/kernels.py sam_twoway)
         dense = SAM.no_mask_dense_embedding(params["prompt_encoder"],
                                             sam_cfg, 1)
         masks, iou = SAM.mask_decoder(params["mask_decoder"], sam_cfg,
-                                      embedding, image_pe, sparse, dense)
+                                      embedding, image_pe, sparse, dense,
+                                      twoway_packed=twoway_packed)
         # multimask outputs: tokens 1..3 (token 0 is the single-mask head)
         return masks[:, 1:4], iou[:, 1:4]
 
@@ -197,9 +198,13 @@ def build_amg(sam_cfg: SAM.SAMConfig, amg_cfg: AMGConfig):
         bs = amg_cfg.points_per_batch
         assert n % bs == 0, (n, bs)
         batches = points.reshape(n // bs, bs, 2)
+        # hoist the kernel weight stacking out of the scan body (XLA does
+        # not reliably LICM ~5-8 MB of copies out of while loops)
+        from editanything_tpu.core.kernels import pack_twoway
+        packed = pack_twoway(params["mask_decoder"]["transformer"])
 
         def body(_, pts):
-            m, i = decode_batch(params, embedding, image_pe, pts)
+            m, i = decode_batch(params, embedding, image_pe, pts, packed)
             return _, (m.reshape(-1, m.shape[-2], m.shape[-1]),
                        i.reshape(-1))
 

@@ -187,13 +187,18 @@ def singlestep_plan(schedule: sched.NoiseSchedule, num_steps: int,
         for r in fracs[k]:
             target = lam_s + r * (lam_e - lam_s)
             # lambda is monotonically decreasing in t: nearest discrete t,
-            # clamped strictly inside the block
-            ti = int(np.argmin(np.abs(lam_all - target)))
-            ti = int(np.clip(ti, max(t_e, 0) + 1, t_s - 1))
+            # clamped strictly inside the block. A block too narrow to hold
+            # an interior point (t_s - 1 < t_e + 1) degenerates to
+            # repeating t_s: the phase-0 move is then a no-op (h = 0 guard)
+            # and the phase-1 correction vanishes exactly (the two model
+            # evals see identical sample and t, so m_s1 - m_s == 0).
+            lo, hi = max(t_e, 0) + 1, t_s - 1
+            if lo > hi:
+                ti = t_s
+            else:
+                ti = int(np.argmin(np.abs(lam_all - target)))
+                ti = int(np.clip(ti, lo, hi))
             pts.append(ti)
-        # snapped intermediates must strictly decrease; degenerate (tiny)
-        # blocks fall back to repeating t_s, which the step math treats as
-        # r -> 0 safely via the h guard
         for p, t in enumerate(pts):
             ts.append(t)
             phase.append(p)

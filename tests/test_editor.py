@@ -261,6 +261,20 @@ class TestReferenceReplay:
                "alignment_ratio": 0.5})
         assert results[0].shape == (64, 64, 3)
 
+    def test_capture_format_detection(self):
+        """Native EA_SAVE_INPUTS captures must NOT be routed through the
+        reference mapper (they share kwarg names like a_prompt/seed with
+        the reference but carry the native `image` kwarg)."""
+        from editanything_tpu.apps.cli import is_reference_capture
+        native = {"image": _image(seed=30), "mask": np.zeros((96, 96)),
+                  "prompt": "x", "a_prompt": "best", "n_prompt": "bad",
+                  "num_samples": 1, "ddim_steps": 2, "seed": 5}
+        assert not is_reference_capture((), native)
+        assert is_reference_capture(self._reference_args(_image(seed=31)),
+                                    {})
+        assert is_reference_capture((), {"source_image": _image(seed=32),
+                                         "ddim_steps": 2})
+
     def test_gradio_dicts_and_renames(self):
         from editanything_tpu.apps.cli import reference_call_to_kwargs
         img = _image(seed=22)

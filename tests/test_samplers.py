@@ -493,3 +493,20 @@ def test_dpm_singlestep_in_engine():
         run = jax.jit(build_denoiser(cfg, SCHED, make_timesteps(5)))
         out = run(params, lat, ctx, {"guidance_scale": 5.0})
         assert np.isfinite(np.asarray(out)).all(), sampler
+
+
+def test_singlestep_plan_degenerate_narrow_blocks():
+    """Blocks too narrow for an interior eval (adjacent outer points) must
+    degrade gracefully: the intermediate repeats t_s (the step math's h=0 /
+    m_s1==m_s guards make that exact), never inverts past the target."""
+    n = 600
+    plan = singlestep_plan(SCHED, n, 2)
+    i = 0
+    while i < n:
+        k = int(plan.bsize[i])
+        pts = list(plan.ts[i:i + k]) + [int(plan.t_end[i])]
+        assert all(a >= b for a, b in zip(pts, pts[1:])), pts
+        assert pts[0] > pts[-1]
+        i += k
+    out = _run_dpm_ss(X_T, n, 2)
+    assert np.isfinite(np.asarray(out)).all()
