@@ -38,10 +38,10 @@ try:  # pltpu is importable on CPU too, but guard for safety
 except ImportError:  # pragma: no cover
     pltpu = None
 
-# Block defaults tuned on v5e: (512, 1024) reaches 28 TFLOP/s on the SD
-# 64x64-latent self-attention (vs 16 at (256, 256), 12 for XLA reference)
-# and 33 TFLOP/s at the 16384-token tile pass — near the chip's measured
-# ~39 TFLOP/s bf16 matmul ceiling. Small N/M clamp the blocks down anyway.
+# Block defaults tuned on v5e: (512, 1024) reaches 28 TFLOP/s useful on the
+# SD 64x64-latent self-attention (vs 16 at (256, 256), 12 for XLA reference)
+# and 33 at the 16384-token tile pass; raw incl. the d->128 lane padding is
+# ~131 TFLOP/s (PROFILE.md). Small N/M clamp the blocks down anyway.
 BLOCK_N = 512
 BLOCK_M = 1024
 _NEG_INF = -1e30
@@ -113,24 +113,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 @functools.partial(jax.jit, static_argnames=("scale", "block_n", "block_m"))
 def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     block_n: int = BLOCK_N, block_m: int = BLOCK_M):
-    """Flash attention for (B, H, N, D) tensors, no mask (full bidirectional)."""
+    """Flash attention for (B, H, N, D) tensors, no mask (full bidirectional).
+
+    q/k may be DEEPER than v (dqk > dv): callers fold additive logit biases
+    into the contraction by augmenting q with bias columns and k with
+    one-hot selectors (SAM rel-pos, models/sam.py) — the output depth
+    follows v."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, h, n, d = q.shape
     m = k.shape[2]
+    dv = v.shape[3]
 
     block_n = min(block_n, _round_up(n, 128))
     block_m = min(block_m, _round_up(m, 128))
     n_pad = _round_up(n, block_n)
     m_pad = _round_up(m, block_m)
     d_pad = _round_up(d, 128)
+    dv_pad = _round_up(dv, 128)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad - m), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad - m), (0, dv_pad - dv)))
     qp = qp.reshape(b * h, n_pad, d_pad)
     kp = kp.reshape(b * h, m_pad, d_pad)
-    vp = vp.reshape(b * h, m_pad, d_pad)
+    vp = vp.reshape(b * h, m_pad, dv_pad)
 
     grid = (b * h, n_pad // block_n, m_pad // block_m)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_len=m,
@@ -141,157 +148,25 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         in_specs=[
             pl.BlockSpec((1, block_n, d_pad), lambda i, j, kj: (i, j, 0)),
             pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
-            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
+            pl.BlockSpec((1, block_m, dv_pad), lambda i, j, kj: (i, kj, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_n, d_pad),
+        out_specs=pl.BlockSpec((1, block_n, dv_pad),
                                lambda i, j, kj: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, dv_pad), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_n, 128), jnp.float32),
             pltpu.VMEM((block_n, 128), jnp.float32),
-            pltpu.VMEM((block_n, d_pad), jnp.float32),
+            pltpu.VMEM((block_n, dv_pad), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * m * d,
+            flops=2 * b * h * n * m * (d + dv),
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * n * m,
         ),
         interpret=_INTERPRET,
     )(qp, kp, vp)
-    out = out.reshape(b, h, n_pad, d_pad)
-    return out[:, :, :n, :d]
-
-
-def _rel_pos_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
-                    m_scr, l_scr, acc_scr, *,
-                    scale: float, img_w: int, rows_per_block: int):
-    """Flash attention over an (h, w) key grid with SAM's DECOMPOSED
-    relative-position bias folded in (no N^2 bias materialization).
-
-    Keys are streamed row-group-wise through the innermost grid dim: one kv
-    block covers `rows_per_block` full image rows (block_m = r*img_w), so
-    the bias for the block is bias_h[q, row] (a per-row scalar column) +
-    bias_w[q, :] (shared across rows) — both tiny (N, h)/(N, w) tensors
-    instead of the (N, N) matrix the reference materializes (torch SAM
-    add_decomposed_rel_pos). The (m, l, acc) carry persists in VMEM scratch
-    across the sequential kv steps, so any detect resolution fits."""
-    j = pl.program_id(2)
-    nkv = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0]                                       # (BN, D)
-    bh = bh_ref[0].astype(jnp.float32)                 # (BN, h_pad)
-    bw = bw_ref[0].astype(jnp.float32)                 # (BN, w_pad)
-    k = k_ref[0]                                       # (block_m, D)
-    v = v_ref[0]
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # (BN, block_m)
-    # decomposed bias for rows [j*r, (j+1)*r): the per-row scalar is
-    # extracted with a masked lane reduction (Mosaic can't dynamically
-    # slice the lane dim at unaligned offsets)
-    col = jax.lax.broadcasted_iota(jnp.int32, bh.shape, 1)
-    parts = []
-    for t in range(rows_per_block):
-        idx = j * rows_per_block + t
-        row_bias = jnp.sum(jnp.where(col == idx, bh, 0.0), axis=1,
-                           keepdims=True)              # (BN, 1)
-        parts.append(row_bias + bw[:, :img_w])
-    logits = logits + jnp.concatenate(parts, axis=1)
-
-    m_prev = jnp.max(m_scr[:], axis=-1, keepdims=True)
-    l_prev = jnp.max(l_scr[:], axis=-1, keepdims=True)
-    m_cur = jnp.max(logits, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc_scr[:] = acc
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(j == nkv - 1)
-    def _():
-        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
-
-
-def flash_attention_rel_pos(q, k, v, bias_h, bias_w, *, img_hw,
-                            scale: Optional[float] = None,
-                            block_n: int = BLOCK_N,
-                            block_m_target: int = BLOCK_M):
-    """Flash attention for SAM's global layers: q/k/v (B, H, N, D) over an
-    N = h*w key grid, with decomposed rel-pos biases bias_h (B, H, N, h)
-    and bias_w (B, H, N, w). Requires h*w == N exactly (global attention,
-    square image grid)."""
-    hh, ww = img_hw
-    b, nh, n, d = q.shape
-    assert n == hh * ww and k.shape[2] == n
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
-    # kv rows per block: aim for ~block_m_target keys (>= 128 lanes' worth)
-    # but cap at 8 rows — the per-row bias extraction is r unrolled masked
-    # reductions, which dominates beyond that (measured: r=16 is 3x slower
-    # than r=8 at the 64x64 grid; r=8 is the optimum at both 64 and 128)
-    r = max(1, min(hh, 8, block_m_target // ww), -(-128 // ww))
-    while hh % r != 0:
-        r -= 1
-    block_m = r * ww
-    block_n = min(block_n, _round_up(n, 128))
-    n_pad = _round_up(n, block_n)
-    d_pad = _round_up(d, 128)
-    h_pad = _round_up(hh, 128)
-    w_pad = _round_up(ww, 128)
-
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d))) \
-        .reshape(b * nh, n_pad, d_pad)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, d_pad - d))) \
-        .reshape(b * nh, n, d_pad)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_pad - d))) \
-        .reshape(b * nh, n, d_pad)
-    bhp = jnp.pad(bias_h, ((0, 0), (0, 0), (0, n_pad - n),
-                           (0, h_pad - hh))).reshape(b * nh, n_pad, h_pad)
-    bwp = jnp.pad(bias_w, ((0, 0), (0, 0), (0, n_pad - n),
-                           (0, w_pad - ww))).reshape(b * nh, n_pad, w_pad)
-
-    grid = (b * nh, n_pad // block_n, n // block_m)
-    kernel = functools.partial(_rel_pos_kernel, scale=scale, img_w=ww,
-                               rows_per_block=r)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_n, d_pad), lambda i, j, kj: (i, j, 0)),
-            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
-            pl.BlockSpec((1, block_m, d_pad), lambda i, j, kj: (i, kj, 0)),
-            pl.BlockSpec((1, block_n, h_pad), lambda i, j, kj: (i, j, 0)),
-            pl.BlockSpec((1, block_n, w_pad), lambda i, j, kj: (i, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_n, d_pad),
-                               lambda i, j, kj: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * nh, n_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_n, 128), jnp.float32),
-            pltpu.VMEM((block_n, 128), jnp.float32),
-            pltpu.VMEM((block_n, d_pad), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * nh * n * n * d,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=b * nh * n * n,
-        ),
-        interpret=_INTERPRET,
-    )(qp, kp, vp, bhp, bwp)
-    out = out.reshape(b, nh, n_pad, d_pad)
-    return out[:, :, :n, :d]
+    out = out.reshape(b, h, n_pad, dv_pad)
+    return out[:, :, :n, :dv]
 
 
 def _on_tpu() -> bool:

@@ -140,8 +140,23 @@ def _rel_pos_bias(rel_pos, q_size, k_size):
     return rel_pos[rel]                                  # (q, k, hd)
 
 
-def _attention_with_rel_pos(p, x, num_heads, rel_hw):
-    """x: (B, H, W, C). Windowed or global attention with decomposed rel pos."""
+def _rel_pos_augmented_qkv(p, x, num_heads):
+    """Fold the decomposed rel-pos bias INTO the QK contraction.
+
+    torch SAM (segment_anything image_encoder add_decomposed_rel_pos)
+    computes logits[q,(kr,kc)] = q.k/sqrt(d) + bias_h[q,kr] + bias_w[q,kc]
+    with bias_h = q.rel_pos_h, bias_w = q.rel_pos_w. That is exactly an
+    augmented contraction:
+        q' = [q/sqrt(d), bias_h[q,:], bias_w[q,:]]     (d + h + w)
+        k' = [k,         onehot(kr),  onehot(kc)]
+        logits = q'.k'
+    so the MXU does the bias add: no (N, N) bias materialization, no
+    per-row masked-lane extraction in the flash kernel. For the 14x14
+    windows d' = 80+28 = 108 <= 128 — free under the existing lane
+    padding (windowed ViT-H block measured 2.28 -> 1.61 ms); the 64x64
+    global layers pay one extra 128-lane chunk (3.90 -> 3.17 ms).
+
+    Returns q_aug, k_aug (B, nh, N, d+h+w) and v (B, nh, N, d)."""
     b, h, w, c = x.shape
     hd = c // num_heads
     qkv = L.linear(p["qkv"], x.reshape(b, h * w, c))     # (B, N, 3C)
@@ -149,25 +164,35 @@ def _attention_with_rel_pos(p, x, num_heads, rel_hw):
     q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
 
     scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-
     rh = _rel_pos_bias(p["rel_pos_h"], h, h).astype(jnp.float32)  # (h, h, hd)
     rw = _rel_pos_bias(p["rel_pos_w"], w, w).astype(jnp.float32)  # (w, w, hd)
     qf = q.reshape(b, num_heads, h, w, hd).astype(jnp.float32)
-    # decomposed rel-pos (Wu et al.): bias added per-row and per-column;
-    # note torch SAM does NOT scale the rel-pos term by 1/sqrt(d).
-    # TPU layout: the bias add stays in the flat (N, N) layout — the naive
-    # rank-6 (b, nh, h, w, h, w) broadcast puts w=14 in the lane dimension
-    # (padded 14 -> 128, ~9x the memory traffic; measured 3.4 ms of the
-    # windowed ViT-H block's 4.5 ms before this rewrite).
-    bias_h = jnp.einsum("bxhwd,hkd->bxhwk", qf, rh)   # (b, nh, h, w, h)
-    bias_w = jnp.einsum("bxhwd,wkd->bxhwk", qf, rw)   # (b, nh, h, w, w)
-    # logits[(y,x), (k,l)] += bias_h[y,x,k] + bias_w[y,x,l]
-    bias = jnp.repeat(bias_h.reshape(b, num_heads, h * w, h), w, axis=-1) \
-        + jnp.tile(bias_w.reshape(b, num_heads, h * w, w), (1, 1, 1, h))
-    logits = logits + bias
+    bias_h = jnp.einsum("bxhwd,hkd->bxhwk", qf, rh
+                        ).reshape(b, num_heads, h * w, h)
+    bias_w = jnp.einsum("bxhwd,wkd->bxhwk", qf, rw
+                        ).reshape(b, num_heads, h * w, w)
+    q_aug = jnp.concatenate(
+        [q.astype(jnp.float32) * scale, bias_h, bias_w], -1).astype(x.dtype)
 
+    n = h * w
+    key_r = jnp.arange(n) // w
+    key_c = jnp.arange(n) % w
+    onehot = jnp.concatenate(
+        [(key_r[:, None] == jnp.arange(h)[None]).astype(x.dtype),
+         (key_c[:, None] == jnp.arange(w)[None]).astype(x.dtype)], -1)
+    k_aug = jnp.concatenate(
+        [k, jnp.broadcast_to(onehot[None, None],
+                             (b, num_heads, n, h + w))], -1)
+    return q_aug, k_aug, v
+
+
+def _attention_with_rel_pos(p, x, num_heads, rel_hw):
+    """x: (B, H, W, C). Windowed or global attention with decomposed rel pos
+    via the augmented contraction (materializing-logits XLA path)."""
+    b, h, w, c = x.shape
+    q_aug, k_aug, v = _rel_pos_augmented_qkv(p, x, num_heads)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q_aug, k_aug,
+                        preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -176,27 +201,14 @@ def _attention_with_rel_pos(p, x, num_heads, rel_hw):
 
 
 def _attention_with_rel_pos_flash(p, x, num_heads):
-    """Global-layer variant through the rel-pos flash kernel: the (N, N)
-    logits matrix (1 GB fp32 at 64^2 tokens x 16 heads) never
-    materializes — only the decomposed (N, h)/(N, w) biases do."""
+    """Global-layer variant through the flash kernel: the (N, N) logits
+    matrix (1 GB fp32 at 64^2 tokens x 16 heads) never materializes, and
+    the rel-pos bias rides the augmented q/k lanes (core/flash_attention.py
+    flash_attention supports dqk > dv)."""
     from editanything_tpu.core import flash_attention as FA
     b, h, w, c = x.shape
-    hd = c // num_heads
-    qkv = L.linear(p["qkv"], x.reshape(b, h * w, c))
-    qkv = qkv.reshape(b, h * w, 3, num_heads, hd)
-    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
-
-    rh = _rel_pos_bias(p["rel_pos_h"], h, h)            # (h, h, hd)
-    rw = _rel_pos_bias(p["rel_pos_w"], w, w)            # (w, w, hd)
-    qf = q.reshape(b, num_heads, h, w, hd).astype(jnp.float32)
-    bias_h = jnp.einsum("bxhwd,hkd->bxhwk", qf,
-                        rh.astype(jnp.float32)).reshape(
-        b, num_heads, h * w, h)
-    bias_w = jnp.einsum("bxhwd,wkd->bxhwk", qf,
-                        rw.astype(jnp.float32)).reshape(
-        b, num_heads, h * w, w)
-    out = FA.flash_attention_rel_pos(q, k, v, bias_h, bias_w,
-                                     img_hw=(h, w))
+    q_aug, k_aug, v = _rel_pos_augmented_qkv(p, x, num_heads)
+    out = FA.flash_attention(q_aug, k_aug, v, scale=1.0)
     out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
     return L.linear(p["proj"], out)
 
@@ -252,11 +264,25 @@ def _encoder_block(p, x, cfg: SAMConfig, window: int):
     return x + h
 
 
+def _patch_embed(p, x, patch: int):
+    """Stride-`patch` patch projection as space-to-depth + matmul. The
+    direct conv form has 3 input channels — a catastrophic MXU shape
+    (contraction dim 3 padded to 128); regrouping to (p*p*3 = 768) @ 1280
+    is the same linear map and measured 1.53 -> 0.10 ms at ViT-H 1024^2."""
+    b, h, w, c = x.shape
+    hp, wp = h // patch, w // patch
+    xr = x.reshape(b, hp, patch, wp, patch, c)
+    xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, patch * patch * c)
+    kern = p["kernel"].reshape(patch * patch * c, -1)   # HWIO flat == xr
+    out = jnp.einsum("bhwi,io->bhwo", xr, kern.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return out + p["bias"].astype(x.dtype)
+
+
 def image_encoder(params, cfg: SAMConfig, x):
     """(B, 1024, 1024, 3) normalized pixels -> (B, 64, 64, 256) embeddings."""
     p = params
-    h = L.conv2d(p["patch_embed"]["proj"], x, stride=cfg.patch_size,
-                 padding="VALID")
+    h = _patch_embed(p["patch_embed"]["proj"], x, cfg.patch_size)
     h = h + p["pos_embed"].astype(h.dtype)
     for i in range(cfg.depth):
         win = 0 if i in cfg.global_attn_indexes else cfg.window_size

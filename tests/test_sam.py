@@ -305,9 +305,11 @@ def test_bitmatch_harness_smoke(tmp_path):
 
 
 def test_mask_decoder_shared_entry_matches_batched(params):
-    """dense_prompts of batch 1 routes block 0 through the shared-image-side
-    fast path; outputs must match the per-prompt batched path exactly (same
-    math, different broadcasting)."""
+    """dense_prompts of batch 1 routes the whole two-way transformer through
+    the Pallas sam_twoway kernel (interpret mode here); outputs must match
+    the per-prompt batched XLA path exactly — with and without pre-packed
+    kernel weights (kernels.pack_twoway, the AMG's scan-hoisted form)."""
+    from editanything_tpu.core.kernels import pack_twoway
     b = 5
     key = jax.random.PRNGKey(7)
     emb = jax.random.normal(key, (1, 8, 8, 16))
@@ -320,9 +322,16 @@ def test_mask_decoder_shared_entry_matches_batched(params):
 
     m_shared, iou_shared = SAM.mask_decoder(
         params["mask_decoder"], TINY, emb, image_pe, sparse, dense1)
+    packed = pack_twoway(params["mask_decoder"]["transformer"])
+    m_packed, iou_packed = SAM.mask_decoder(
+        params["mask_decoder"], TINY, emb, image_pe, sparse, dense1,
+        twoway_packed=packed)
     m_full, iou_full = SAM.mask_decoder(
         params["mask_decoder"], TINY, emb, image_pe, sparse, denseb)
     np.testing.assert_allclose(np.asarray(m_shared), np.asarray(m_full),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(iou_shared), np.asarray(iou_full),
                                rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m_packed), np.asarray(m_shared))
+    np.testing.assert_array_equal(np.asarray(iou_packed),
+                                  np.asarray(iou_shared))
