@@ -55,15 +55,36 @@ def init_train_state(cn_params, optimizer, *,
 
 
 def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
-                    *, prediction_type: Optional[str] = None):
+                    *, prediction_type: Optional[str] = None,
+                    remat=False):
     """Returns train_step(state, unet_params, batch, key) -> (state, metrics).
 
     batch = {"latents": (B,h,w,4) scaled VAE latents,
              "hint":    (B,8h,8w,3) control condition in [0,1],
              "context": (B,N,D) text-encoder states}
-    """
+
+    remat: rematerialize the CN+UNet backward. True (= "dots") uses the
+    `dots_saveable` policy — matmul/conv outputs are kept, elementwise
+    chains (GroupNorm, SiLU, attention softmax pieces) recompute in the
+    bwd pass; measured on the v5e chip this fits SD1.5 CN+UNet training
+    up to batch 4 x 64x64 latents (batch 8 still exceeds 16 GB HBM
+    because every conv output is saved). "full" saves nothing across the
+    backbone boundary — one extra forward of FLOPs, smallest footprint —
+    for the largest per-chip batches. False keeps the plain fwd
+    activation set (fine for tiny/test configs and sharded meshes)."""
     pred_type = prediction_type or schedule.prediction_type
     ucfg = cn_cfg.unet
+
+    def backbone(cn_params, unet_params, noisy, t, context, hint):
+        down, mid = CN.apply(cn_params, cn_cfg, noisy, t, context, hint)
+        return U.apply(unet_params, ucfg, noisy, t, context,
+                       down_block_residuals=down, mid_block_residual=mid)
+
+    if remat == "full":
+        backbone = jax.checkpoint(backbone)
+    elif remat:
+        backbone = jax.checkpoint(
+            backbone, policy=jax.checkpoint_policies.dots_saveable)
 
     def loss_fn(cn_params, unet_params, batch, key):
         k_t, k_n = jax.random.split(key)
@@ -73,10 +94,8 @@ def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
         noise = jax.random.normal(k_n, lat.shape, lat.dtype)
         noisy = sched.add_noise(schedule, lat, noise, t)
 
-        down, mid = CN.apply(cn_params, cn_cfg, noisy, t, batch["context"],
-                             batch["hint"])
-        pred = U.apply(unet_params, ucfg, noisy, t, batch["context"],
-                       down_block_residuals=down, mid_block_residual=mid)
+        pred = backbone(cn_params, unet_params, noisy, t,
+                        batch["context"], batch["hint"])
 
         if pred_type == "epsilon":
             target = noise

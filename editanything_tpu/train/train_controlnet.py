@@ -43,7 +43,7 @@ def train(*, data_path: str, txt_path: str, out_dir: str,
           max_steps: int = 10000, resolution: int = 512,
           log_every: int = 10, image_every: int = 300,
           ckpt_every: int = 1000, seed: int = 0,
-          mesh=None):
+          mesh=None, remat: bool = True):
     """Run ControlNet training. `bundle` supplies frozen UNet/VAE/text
     weights + the trainable ControlNet init (random graft by default,
     checkpoints/surgery.graft_controlnet_from_unet for warm starts)."""
@@ -55,7 +55,10 @@ def train(*, data_path: str, txt_path: str, out_dir: str,
     cn_cfg, cn_params = bundle.controlnets["sam"]
     schedule = make_schedule()
     optimizer = make_optimizer(lr)
-    train_step = jax.jit(make_train_step(cn_cfg, schedule, optimizer),
+    # remat (dots_saveable) by default: the un-rematerialized fwd
+    # activation set does not fit one chip's HBM at SD1.5 scale
+    train_step = jax.jit(make_train_step(cn_cfg, schedule, optimizer,
+                                         remat=remat),
                          donate_argnums=(0,))
     state = init_train_state(cn_params, optimizer)
     pre = make_preprocessor(bundle.vae_cfg, bundle.text_cfg,

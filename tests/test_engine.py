@@ -268,3 +268,45 @@ def test_encoder_cache_key_steps_exact():
     cached = run(4, 2)
     assert np.isfinite(cached).all()
     assert not np.allclose(cached, exact)
+
+
+def test_train_step_remat_matches_plain():
+    """remat=True (dots_saveable rematerialization) must be a pure memory
+    optimization: identical loss and identical updated params."""
+    from editanything_tpu.models import config as C
+    from editanything_tpu.models import controlnet as CN
+    from editanything_tpu.models import unet as UU
+    from editanything_tpu.samplers import make_schedule
+    from editanything_tpu.train import init_train_state, make_train_step
+    from editanything_tpu.train.controlnet_train import make_optimizer
+    import jax
+    import numpy as np
+
+    ucfg = C.UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1,
+        cross_attention_dim=32, attention_head_dim=(2, 2),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        norm_num_groups=8)
+    cn_cfg = C.ControlNetConfig(unet=ucfg)
+    key = jax.random.PRNGKey(0)
+    unet_p = UU.init_unet(key, ucfg)
+    cn_p = CN.init_controlnet(key, cn_cfg)
+    opt = make_optimizer(1e-2)
+    batch = {"latents": jax.random.normal(key, (2, 8, 8, 4)),
+             "hint": jax.random.uniform(key, (2, 64, 64, 3)),
+             "context": jax.random.normal(key, (2, 4, 32))}
+    outs = {}
+    for remat in (False, True, "full"):
+        step = jax.jit(make_train_step(cn_cfg, make_schedule(), opt,
+                                       remat=remat))
+        state = init_train_state(cn_p, opt)
+        s1, metrics = step(state, unet_p, batch, jax.random.PRNGKey(1))
+        outs[remat] = (float(metrics["loss"]), s1.cn_params)
+    for remat in (True, "full"):
+        np.testing.assert_allclose(outs[False][0], outs[remat][0], rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(outs[False][1]),
+                        jax.tree.leaves(outs[remat][1])):
+            # recompute reassociates fusions; updates are adam(lr 1e-2) steps
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
