@@ -122,6 +122,89 @@ def section_sam():
           flush=True)
 
 
+def section_up3():
+    """Drill-down of the UNet's costliest decoder block (up3: 3 resnets +
+    3 spatial transformers at 64x64/320ch, CFG batch 2). Sums the measured
+    pieces against the block's whole-graph attribution (9.6 ms in r3) to
+    expose composition overhead (layout changes, fusion breaks)."""
+    from editanything_tpu.core import layers as L
+    from editanything_tpu.models import blocks as B
+    ks = jax.random.split(KEY, 8)
+    b, hw, c = 2, 64, 320
+    n = hw * hw
+    x_cat0 = jax.random.normal(KEY, (b, hw, hw, 960), DTYPE)
+    x_cat = jax.random.normal(KEY, (b, hw, hw, 640), DTYPE)
+    x = jax.random.normal(KEY, (b, hw, hw, c), DTYPE)
+    seq = jax.random.normal(KEY, (b, n, c), DTYPE)
+    ctx = jax.random.normal(KEY, (b, 77, 768), DTYPE)
+    temb = jax.random.normal(KEY, (b, 1280), DTYPE)
+
+    r0 = jax.jit(lambda k: B.init_resnet_block(k, 960, c, 1280, DTYPE))(ks[0])
+    r1 = jax.jit(lambda k: B.init_resnet_block(k, 640, c, 1280, DTYPE))(ks[1])
+    st = jax.jit(lambda k: B.init_spatial_transformer(
+        k, c, 768, dtype=DTYPE))(ks[2])
+    at = jax.jit(lambda k: B.init_attention(k, c, None, DTYPE))(ks[3])
+    ax = jax.jit(lambda k: B.init_attention(k, c, 768, DTYPE))(ks[4])
+    tr = st["transformer_blocks"]["0"]
+
+    ts = {}
+    ts["resnet 960->320"] = bench(
+        "resnet 960->320", lambda p, a, t: B.resnet_block(p, a, t), r0,
+        x_cat0, temb)
+    ts["resnet 640->320"] = bench(
+        "resnet 640->320", lambda p, a, t: B.resnet_block(p, a, t), r1,
+        x_cat, temb)
+    ts["spatial_transformer"] = bench(
+        "spatial_transformer 320/4096", lambda p, a, cc:
+        B.spatial_transformer(p, a, cc, heads=8), st, x, ctx)
+    bench("  self-attn layer (qkv+flash+out)", lambda p, s:
+          B.attention_layer(p, s, heads=8), at, seq)
+    bench("  cross-attn layer", lambda p, s, cc:
+          B.attention_layer(p, s, cc, heads=8), ax, seq, ctx)
+    bench("  ff (geglu+out)", lambda p, s: L.linear(
+        p["ff"]["net"]["2"], L.geglu(p["ff"]["net"]["0"]["proj"], s)),
+        tr, seq)
+    bench("  layer_norm", lambda p, s: L.layer_norm(p["norm1"], s), tr, seq)
+    bench("  gn(640, no silu)", lambda p, a: __import__(
+        "editanything_tpu.core.kernels", fromlist=["x"]).group_norm_silu(
+        p["norm1"], a, apply_silu=False), r1, x_cat)
+    block = 3 * ts["resnet 640->320"] + 3 * ts["spatial_transformer"] \
+        + (ts["resnet 960->320"] - ts["resnet 640->320"])
+    print(f"  -> up3 sum-of-parts: {block*1000:.2f} ms "
+          "(whole-graph attribution was 9.6)", flush=True)
+
+
+def section_conv():
+    """Raw conv vs equivalent-matmul roofline at the up3 resnet shapes."""
+    from editanything_tpu.core import layers as L
+    b, hw = 2, 64
+    m = b * hw * hw
+    for cin, cout in ((640, 320), (320, 320), (960, 320)):
+        x = jax.random.normal(KEY, (b, hw, hw, cin), DTYPE)
+        p = jax.jit(lambda k: L.init_conv2d(k, cin, cout, 3, DTYPE))(KEY)
+        fl = 2 * m * 9 * cin * cout
+        bench(f"conv3x3 {cin}->{cout} @64^2 b2",
+              lambda pp, a: L.conv2d(pp, a, padding=1), p, x, flops=fl)
+        a2 = jax.random.normal(KEY, (m, 9 * cin), DTYPE)
+        w2 = jax.random.normal(KEY, (9 * cin, cout), DTYPE)
+        bench(f"  eq. matmul {m}x{9 * cin}x{cout}",
+              lambda a, w: a @ w, a2, w2, flops=fl)
+        # 9-shift decomposition: padded input, 9 slice+matmul accumulations
+        w9 = jax.random.normal(KEY, (9, cin, cout), DTYPE)
+
+        def conv9(a, w):
+            ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = None
+            for dy in range(3):
+                for dx in range(3):
+                    s = jax.lax.dynamic_slice(
+                        ap, (0, dy, dx, 0), (b, hw, hw, cin))
+                    y = jnp.einsum("bhwc,co->bhwo", s, w[dy * 3 + dx])
+                    out = y if out is None else out + y
+            return out
+        bench(f"  9-shift matmul {cin}->{cout}", conv9, x, w9, flops=fl)
+
+
 def section_amg():
     from editanything_tpu.models import sam as SAM
     from editanything_tpu.perception import AMGConfig, build_amg
@@ -151,9 +234,9 @@ def section_amg():
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--section", default="all",
-                   choices=["all", "calib", "unet", "sam", "amg"])
+                   choices=["all", "calib", "unet", "up3", "conv", "sam", "amg"])
     a = p.parse_args()
-    for name in (["calib", "unet", "sam", "amg"]
+    for name in (["calib", "unet", "up3", "conv", "sam", "amg"]
                  if a.section == "all" else [a.section]):
         print(f"--- {name}", flush=True)
         globals()[f"section_{name}"]()
