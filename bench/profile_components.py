@@ -172,6 +172,16 @@ def section_up3():
         + (ts["resnet 960->320"] - ts["resnet 640->320"])
     print(f"  -> up3 sum-of-parts: {block*1000:.2f} ms "
           "(whole-graph attribution was 9.6)", flush=True)
+    # A/B: same resnet with ALL Pallas disabled (XLA GroupNorm fallback)
+    # isolates what the fused GN kernel buys inside a resnet
+    import editanything_tpu.core.kernels as KK
+    old = KK._DISABLED
+    KK._DISABLED = True
+    try:
+        bench("resnet 640->320 [no pallas]",
+              lambda p, a, t: B.resnet_block(p, a, t), r1, x_cat, temb)
+    finally:
+        KK._DISABLED = old
 
 
 def section_conv():

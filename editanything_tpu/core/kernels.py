@@ -24,9 +24,12 @@ _INTERPRET = os.environ.get("EA_PALLAS_INTERPRET", "0") == "1"
 _DISABLED = os.environ.get("EA_DISABLE_PALLAS", "0") == "1"
 
 
+_GN_ROWS = int(os.environ.get("EA_GN_ROWS", "8"))
+
+
 def _row_chunk(h: int) -> int:
-    for r in (8, 4, 2):
-        if h % r == 0:
+    for r in (_GN_ROWS, 8, 4, 2):
+        if r and h % r == 0:
             return r
     return 1
 
@@ -562,6 +565,251 @@ def sam_twoway(transformer_params, src1, image_pe, tokens, *, heads: int,
     kout, qout = _twoway_pallas(src1, tokens_p, image_pe[0], packed,
                                 heads, t)
     return qout[:, :t], kout
+
+
+# ---------------------------------------------------------------------------
+# Fused ResNet block (GN -> SiLU -> conv3x3 -> +temb -> GN -> SiLU -> conv3x3
+# -> +shortcut) — the SD UNet/ControlNet hot block as ONE VMEM-resident
+# kernel. The up3 profiler drill (PROFILE.md) measured the composed XLA
+# resnet at 2-3x its equivalent-matmul roofline at CFG batch 2; this kernel
+# reads the activation from HBM once, keeps both normalized intermediates in
+# VMEM scratch, and runs each conv as 9 tap matmuls on the FLATTENED (H*W, C)
+# activation: tap (dy, dx) is a circular sublane roll by dy*W+dx plus an
+# iota validity mask (zero-padding semantics), then one (HW, Cin)@(Cin, Cout)
+# MXU contraction. No unaligned slices, no in-kernel reshapes — every op is
+# a full-array roll/select or a 2-D matmul (Mosaic-friendly by design; a
+# first draft with haloed scratch + off-tile slices wedged the remote
+# compile service, see git history).
+# ---------------------------------------------------------------------------
+
+
+def _rn_group_stats(ch_sum, ch_sq, c, g, denom, eps, scale_p, bias_p):
+    """Channel sums -> per-channel fused scale/bias via one-hot regroup."""
+    cg = c // g
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+    grp_ids = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+    onehot = ((ch_ids // cg) == grp_ids).astype(jnp.float32)      # (C, G)
+    grp_sum = jnp.dot(ch_sum, onehot, preferred_element_type=jnp.float32)
+    grp_sq = jnp.dot(ch_sq, onehot, preferred_element_type=jnp.float32)
+    mean_g = grp_sum / denom
+    var_g = grp_sq / denom - mean_g * mean_g
+    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.rsqrt(
+        jnp.dot(var_g, onehot.T, preferred_element_type=jnp.float32) + eps)
+    scale = scale_p.astype(jnp.float32) * rstd_c                  # (1, C)
+    bias = bias_p.astype(jnp.float32) - mean_c * scale
+    return scale, bias
+
+
+def _resnet_kernel(x_ref, gn1s_ref, gn1b_ref, w1_ref, b1_ref, trow_ref,
+                   gn2s_ref, gn2b_ref, w2_ref, b2_ref, wsc_ref, bsc_ref,
+                   o_ref, xn_scr, hn_scr, *, h: int, w: int,
+                   num_groups: int, eps: float, has_shortcut: bool):
+    """One image per grid step, activations flattened to (H*W, C).
+
+    x_ref (1, H*W, Cin) -> o_ref (1, H*W, Cout). trow_ref (1, Cout) is the
+    image's time-embedding projection (linear(silu(temb)), computed in XLA —
+    a per-image row). xn/hn scratch hold the normalized+SiLU activations."""
+    from jax.experimental.pallas import tpu as pltpu
+    hw = h * w
+    cout = o_ref.shape[2]
+    f32 = jnp.float32
+
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ycoord = ridx // w
+    xcoord = ridx - ycoord * w
+
+    def conv9(src_ref, w_ref):
+        """3x3 zero-padded conv of the flattened src: 9 (roll, mask,
+        matmul) taps accumulated in fp32."""
+        acc = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                tap = src_ref[:]
+                off = dy * w + dx
+                if off:
+                    tap = pltpu.roll(tap, shift=-off % hw, axis=0)
+                valid = (ycoord + dy >= 0) & (ycoord + dy < h) \
+                    & (xcoord + dx >= 0) & (xcoord + dx < w)
+                tap = jnp.where(valid, tap, jnp.zeros_like(tap))
+                y = jnp.dot(tap, w_ref[(dy + 1) * 3 + (dx + 1)].astype(tap.dtype),
+                            preferred_element_type=f32)
+                acc = y if acc is None else acc + y
+        return acc
+
+    # --- GN1 -> SiLU -> xn
+    xa = x_ref[0].astype(f32)
+    s1 = jnp.sum(xa, axis=0, keepdims=True)
+    q1 = jnp.sum(xa * xa, axis=0, keepdims=True)
+    cin = x_ref.shape[2]
+    sc1, bi1 = _rn_group_stats(s1, q1, cin, num_groups,
+                               hw * (cin // num_groups), eps,
+                               gn1s_ref[:], gn1b_ref[:])
+    y1 = xa * sc1 + bi1
+    xn_scr[:] = (y1 * jax.nn.sigmoid(y1)).astype(xn_scr.dtype)
+
+    # --- conv1 + bias + temb -> GN2 -> SiLU -> hn
+    hacc = conv9(xn_scr, w1_ref) \
+        + (trow_ref[:].astype(f32) + b1_ref[:].astype(f32))
+    s2 = jnp.sum(hacc, axis=0, keepdims=True)
+    q2 = jnp.sum(hacc * hacc, axis=0, keepdims=True)
+    sc2, bi2 = _rn_group_stats(s2, q2, cout, num_groups,
+                               hw * (cout // num_groups), eps,
+                               gn2s_ref[:], gn2b_ref[:])
+    y2 = hacc * sc2 + bi2
+    hn_scr[:] = (y2 * jax.nn.sigmoid(y2)).astype(hn_scr.dtype)
+
+    # --- conv2 + bias + shortcut -> out
+    out = conv9(hn_scr, w2_ref) + b2_ref[:].astype(f32)
+    if has_shortcut:
+        out = out + jnp.dot(x_ref[0], wsc_ref[0].astype(x_ref.dtype),
+                            preferred_element_type=f32) \
+            + bsc_ref[:].astype(f32)
+    else:
+        out = out + xa
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps",
+                                             "has_shortcut"))
+def _resnet_pallas(x, gn1s, gn1b, w1, b1, trow, gn2s, gn2b, w2, b2, wsc,
+                   bsc, num_groups, eps, has_shortcut):
+    n, h, w, cin = x.shape
+    cout = w2.shape[-1]
+    hw = h * w
+    kernel = functools.partial(_resnet_kernel, h=h, w=w,
+                               num_groups=num_groups, eps=eps,
+                               has_shortcut=has_shortcut)
+    from jax.experimental.pallas import tpu as pltpu
+    row = lambda c: pl.BlockSpec((1, c), lambda i: (0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, cin), lambda i: (i, 0, 0)),
+            row(cin), row(cin),
+            pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0)),
+            row(cout),
+            pl.BlockSpec((1, cout), lambda i: (i, 0)),        # per-image temb
+            row(cout), row(cout),
+            pl.BlockSpec((9, cout, cout), lambda i: (0, 0, 0)),
+            row(cout),
+            pl.BlockSpec((1, cin, cout), lambda i: (0, 0, 0)),
+            row(cout),
+        ],
+        out_specs=pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hw, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hw, cin), x.dtype),
+            pltpu.VMEM((hw, cout), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        interpret=_INTERPRET,
+    )(x.reshape(n, hw, cin), gn1s, gn1b, w1, b1, trow, gn2s, gn2b, w2, b2,
+      wsc, bsc)
+    return out.reshape(n, h, w, cout)
+
+
+def _resnet_reference(params, x, trow, num_groups, eps):
+    """The composed XLA ops (used off-TPU and as the custom_vjp backward)."""
+    from editanything_tpu.core import layers as L
+    h = group_norm_silu(params["norm1"], x, num_groups=num_groups, eps=eps)
+    h = L.conv2d(params["conv1"], h, padding=1)
+    if trow is not None:
+        h = h + trow[:, None, None, :].astype(h.dtype)
+    h = group_norm_silu(params["norm2"], h, num_groups=num_groups, eps=eps)
+    h = L.conv2d(params["conv2"], h, padding=1)
+    if "conv_shortcut" in params:
+        x = L.conv2d(params["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def _rn_flat(params, trow):
+    """Flatten the resnet param tree to the kernel's operand list."""
+    w1 = params["conv1"]["kernel"]
+    cin, cout = w1.shape[2], w1.shape[3]
+    has_sc = "conv_shortcut" in params
+    wsc = params["conv_shortcut"]["kernel"].reshape(1, cin, cout) \
+        if has_sc else jnp.zeros((1, cin, cout), w1.dtype)
+    bsc = params["conv_shortcut"]["bias"].reshape(1, cout) \
+        if has_sc else jnp.zeros((1, cout), w1.dtype)
+    return (params["norm1"]["scale"].reshape(1, cin),
+            params["norm1"]["bias"].reshape(1, cin),
+            w1.reshape(9, cin, cout),
+            params["conv1"]["bias"].reshape(1, cout),
+            trow,
+            params["norm2"]["scale"].reshape(1, cout),
+            params["norm2"]["bias"].reshape(1, cout),
+            params["conv2"]["kernel"].reshape(9, cout, cout),
+            params["conv2"]["bias"].reshape(1, cout),
+            wsc, bsc), has_sc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _resnet_diff(params, x, trow, num_groups, eps):
+    flat, has_sc = _rn_flat(params, trow)
+    return _resnet_pallas(x, *flat, num_groups=num_groups, eps=eps,
+                          has_shortcut=has_sc)
+
+
+def _resnet_diff_fwd(params, x, trow, num_groups, eps):
+    return _resnet_diff(params, x, trow, num_groups, eps), (params, x, trow)
+
+
+def _resnet_diff_bwd(num_groups, eps, res, g):
+    params, x, trow = res
+    _, vjp = jax.vjp(
+        lambda p, xx, t: _resnet_reference(p, xx, t, num_groups, eps),
+        params, x, trow)
+    return vjp(g)
+
+
+_resnet_diff.defvjp(_resnet_diff_fwd, _resnet_diff_bwd)
+
+
+# The fused kernel's peak residency: x block + both (HW, C) scratches +
+# out (double-buffered) + the tap weight stacks + the fp32 full-array
+# temporaries of the conv/GN phases (x as fp32, one rolled tap, the fp32
+# conv accumulator). Gate on the total staying comfortably under the
+# scoped-VMEM limit.
+def _resnet_vmem_need(h, w, cin, cout, itemsize):
+    hw = h * w
+    act = (2 * hw * cin + 3 * hw * cout) * itemsize
+    wts = (9 * cin * cout + 9 * cout * cout + cin * cout) * itemsize
+    f32_tmp = 4 * hw * (max(cin, cout) + cout)
+    return act + wts + f32_tmp
+
+
+# Opt-in (EA_RESNET_FUSED=1): on this image the fused resnet's first Mosaic
+# compile has wedged the remote compile service (>25 min, took the tunnel
+# down with it), so the composed-XLA path stays the default until the
+# kernel has a recorded clean compile on the target chip.
+_RESNET_FUSED = os.environ.get("EA_RESNET_FUSED", "0") == "1"
+
+
+def resnet_fused(params, x, trow, *, num_groups: int = 32,
+                 eps: float = 1e-5):
+    """Fused SD resnet block; returns None when the kernel does not apply
+    (caller falls back to the composed ops). `trow` is the per-image
+    time-embedding projection (B, Cout) or None.
+
+    Dispatches on REAL TPU only — interpret-mode equivalence is covered by
+    a dedicated test (tests/test_core_layers.py) rather than routing every
+    CPU test through the (slow) interpreted 9-tap convs."""
+    if _DISABLED or not _RESNET_FUSED or not _on_tpu():
+        return None
+    n, h, w, cin = x.shape
+    w1 = params["conv1"]["kernel"]
+    cout = w1.shape[3]
+    if (w1.shape[:2] != (3, 3) or params["conv2"]["kernel"].shape[:2] != (3, 3)
+            or cin % num_groups or cout % num_groups or (h * w) % 8
+            or _resnet_vmem_need(h, w, cin, cout, x.dtype.itemsize)
+            > _vmem_limit_bytes() * 3 // 4):
+        return None
+    if trow is None:
+        trow = jnp.zeros((n, cout), x.dtype)
+    return _resnet_diff(params, x, trow, num_groups, eps)
 
 
 def group_norm_silu(params, x, *, num_groups: int = 32, eps: float = 1e-5,

@@ -71,6 +71,35 @@ def init_layer_norm(dim: int, dtype=jnp.float32):
 # Core ops
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# 3x3 stride-1 convs as 9 shifted matmuls (EA_CONV9=1): each tap is one
+# (B*H*W, Cin) @ (Cin, Cout) MXU matmul accumulated in fp32 — an
+# alternative lowering to XLA's native conv for shapes where the conv
+# path underperforms its equivalent-matmul roofline (see PROFILE.md up3
+# drill). Mathematically the same contraction; off by default until the
+# on-chip measurement says it wins.
+_CONV9 = _os.environ.get("EA_CONV9", "0") == "1"
+
+
+def _conv2d_9shift(kernel, x):
+    """3x3/stride-1/pad-1 conv as 9 shifted (M, Cin)@(Cin, Cout) matmuls,
+    accumulated in fp32, one cast at the end."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            s = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (b, h, w, cin))
+            y = jax.lax.dot_general(
+                s.reshape(b * h * w, cin), kernel[dy, dx].astype(x.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    return acc.reshape(b, h, w, cout).astype(x.dtype)
+
+
 def conv2d(params, x, *, stride: int = 1, padding="SAME",
            feature_group_count: int = 1):
     """2-D convolution, NHWC x HWIO -> NHWC.
@@ -80,13 +109,18 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME",
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     kernel = params["kernel"]
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=feature_group_count,
-    )
+    if (_CONV9 and stride == 1 and feature_group_count == 1
+            and kernel.shape[:2] == (3, 3)
+            and padding in ("SAME", [(1, 1), (1, 1)])):
+        y = _conv2d_9shift(kernel, x)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count,
+        )
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y

@@ -101,15 +101,29 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                                          and not cfg.guess_mode), \
         "encoder caching is incompatible with ref mode / guess mode"
 
-    def precompute_hints(params, inputs, dtype):
-        """Hoist the ControlNet hint conv stacks out of the scan: the
-        full-res condition images are loop-invariant, so each is encoded
-        ONCE per edit instead of once per step (the reference re-runs
-        controlnet_cond_embedding all `steps` times)."""
-        if not cfg.controlnets:
-            return None
+    def precompute_hints(params, inputs, dtype, context=None):
+        """Hoist the loop-invariant per-edit work out of the scan:
+        (a) the ControlNet hint conv stacks — each full-res condition image
+        is encoded ONCE per edit instead of once per step (the reference
+        re-runs controlnet_cond_embedding all `steps` times); and
+        (b) every cross-attention (k, v) projection of the text context —
+        ~60 small matmuls per step that XLA does not LICM out of the scan
+        body (models.unet.context_kv / models.controlnet.context_kv)."""
         do_cfg = cfg.guidance
         hoisted = {}
+        if context is not None:
+            ctx = (jnp.concatenate([context["uncond"], context["cond"]],
+                                   axis=0) if do_cfg else context["cond"])
+            hoisted["kv_unet"] = U.context_kv(params["unet"], cfg.unet, ctx)
+            if cfg.controlnets:
+                cn_ctx = context["cond"] if (cfg.guess_mode and do_cfg) \
+                    else ctx
+                hoisted["kv_cns"] = [
+                    CN.context_kv(p, c, cn_ctx)
+                    for p, c in zip(params["controlnets"],
+                                    list(cfg.controlnets))]
+        if not cfg.controlnets:
+            return hoisted
         conds = inputs["controlnet_conds"]
         if cfg.guess_mode and do_cfg:
             hoisted["main"] = [
@@ -197,7 +211,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 down_c, mid_c = CN.multi_controlnet_apply(
                     params["controlnets"], list(cfg.controlnets), cn_in, tb_h,
                     context["cond"], conds, scales, smaps, guess_mode=True,
-                    ref=ref_cn, hint_embeddings=hoisted.get("main"))
+                    ref=ref_cn, hint_embeddings=hoisted.get("main"),
+                    ctx_kvs=hoisted.get("kv_cns"))
                 down_res = tuple(jnp.concatenate([jnp.zeros_like(r), r], axis=0)
                                  for r in down_c)
                 mid_res = jnp.concatenate([jnp.zeros_like(mid_c), mid_c], axis=0)
@@ -209,11 +224,13 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                     params["controlnets"], list(cfg.controlnets), lat_in, tb,
                     ctx, conds_in, scales, smaps_in,
                     guess_mode=cfg.guess_mode, ref=ref_cn,
-                    hint_embeddings=hoisted.get("main"))
+                    hint_embeddings=hoisted.get("main"),
+                    ctx_kvs=hoisted.get("kv_cns"))
 
         out = U.apply(params["unet"], cfg.unet, unet_in, tb, ctx,
                       down_block_residuals=down_res,
-                      mid_block_residual=mid_res, ref=ref_unet)
+                      mid_block_residual=mid_res, ref=ref_unet,
+                      ctx_kv=hoisted.get("kv_unet"))
 
         if do_cfg:
             uncond, cond = jnp.split(out, 2, axis=0)
@@ -243,9 +260,12 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
         """ControlNets + UNet encoder/middle with residual injection; the
         cacheable half of a denoise step."""
         ucfg = cfg.unet
+        hoisted = hoisted or {}
         temb = U.time_embed(params["unet"], ucfg, tb, unet_in.dtype)
-        h, residuals = U.encode(params["unet"], ucfg, unet_in, temb, ctx)
-        h = U.middle(params["unet"], ucfg, h, temb, ctx)
+        h, residuals = U.encode(params["unet"], ucfg, unet_in, temb, ctx,
+                                ctx_kv=hoisted.get("kv_unet"))
+        h = U.middle(params["unet"], ucfg, h, temb, ctx,
+                     ctx_kv=hoisted.get("kv_unet"))
         if cfg.controlnets:
             do_cfg = cfg.guidance
             conds = inputs["controlnet_conds"]
@@ -257,7 +277,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             down, mid = CN.multi_controlnet_apply(
                 params["controlnets"], list(cfg.controlnets), lat_in, tb,
                 ctx, conds_in, scales, smaps_in,
-                hint_embeddings=(hoisted or {}).get("main"))
+                hint_embeddings=hoisted.get("main"),
+                ctx_kvs=hoisted.get("kv_cns"))
             residuals = [r + c.astype(r.dtype)
                          for r, c in zip(residuals, down)]
             h = h + mid.astype(h.dtype)
@@ -279,7 +300,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             lambda _: cache, None)
         residuals, h = list(cache[:-1]), cache[-1]
         temb = U.time_embed(params["unet"], cfg.unet, tb, unet_in.dtype)
-        out = U.decode(params["unet"], cfg.unet, h, residuals, temb, ctx)
+        out = U.decode(params["unet"], cfg.unet, h, residuals, temb, ctx,
+                       ctx_kv=(hoisted or {}).get("kv_unet"))
         if do_cfg:
             uncond, cond = jnp.split(out, 2, axis=0)
             out = uncond + guidance_scale * (cond - uncond)
@@ -360,7 +382,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
 
     if cfg.sampler == "unipc":
         def run(params, latents, context, inputs):
-            hoisted = precompute_hints(params, inputs, latents.dtype)
+            hoisted = precompute_hints(params, inputs, latents.dtype, context)
             state = unipc_mod.unipc_init(latents)
 
             if k_enc > 1:
@@ -397,7 +419,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             return final_paste(state.sample, inputs).astype(latents.dtype)
     elif cfg.sampler == "ddim":
         def run(params, latents, context, inputs):
-            hoisted = precompute_hints(params, inputs, latents.dtype)
+            hoisted = precompute_hints(params, inputs, latents.dtype, context)
 
             if k_enc > 1:
                 cache0 = init_encoder_cache(params, latents, context,
@@ -436,7 +458,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
         dpm_order = 3 if cfg.sampler == "dpm3" else 2
 
         def run(params, latents, context, inputs):
-            hoisted = precompute_hints(params, inputs, latents.dtype)
+            hoisted = precompute_hints(params, inputs, latents.dtype, context)
             state = dpm_mod.dpm_init(latents)
 
             def body(state, i):
@@ -463,7 +485,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             p_phase = jnp.asarray(plan.phase)
             p_bsize = jnp.asarray(plan.bsize)
             p_end = jnp.asarray(plan.t_end)
-            hoisted = precompute_hints(params, inputs, latents.dtype)
+            hoisted = precompute_hints(params, inputs, latents.dtype, context)
             state = dpm_mod.singlestep_init(latents)
 
             def body(state, i):
@@ -481,7 +503,7 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             return final_paste(state.sample, inputs).astype(latents.dtype)
     elif cfg.sampler == "plms":
         def run(params, latents, context, inputs):
-            hoisted = precompute_hints(params, inputs, latents.dtype)
+            hoisted = precompute_hints(params, inputs, latents.dtype, context)
             state = plms_mod.plms_init(latents)
 
             def body(state, i):

@@ -44,12 +44,23 @@ def resnet_block(params, x, temb=None, *, num_groups=32, eps=1e-5):
     """GroupNorm-SiLU-Conv x2 with additive time embedding and skip.
 
     eps: 1e-5 in the UNet (GroupNorm32, openaimodel), 1e-6 in the VAE
-    (model.py:47 Normalize)."""
+    (model.py:47 Normalize).
+
+    On real TPU the whole block dispatches to the fused Pallas kernel
+    (core.kernels.resnet_fused: one HBM read/write of the activation,
+    convs as 9 shifted MXU matmuls); otherwise the composed ops below."""
+    from editanything_tpu.core import kernels
+    trow = None
+    if temb is not None and "time_emb_proj" in params:
+        trow = L.linear(params["time_emb_proj"], L.silu(temb))
+    fused = kernels.resnet_fused(params, x, trow, num_groups=num_groups,
+                                 eps=eps)
+    if fused is not None:
+        return fused
     h = group_norm_silu(params["norm1"], x, num_groups=num_groups, eps=eps)
     h = L.conv2d(params["conv1"], h, padding=1)
-    if temb is not None and "time_emb_proj" in params:
-        t = L.linear(params["time_emb_proj"], L.silu(temb))
-        h = h + t[:, None, None, :].astype(h.dtype)
+    if trow is not None:
+        h = h + trow[:, None, None, :].astype(h.dtype)
     h = group_norm_silu(params["norm2"], h, num_groups=num_groups, eps=eps)
     h = L.conv2d(params["conv2"], h, padding=1)
     if "conv_shortcut" in params:
@@ -72,7 +83,17 @@ def init_attention(key, query_dim, context_dim=None, dtype=jnp.float32):
     }
 
 
-def attention_layer(params, x, context=None, *, heads, context_mask=None):
+def project_kv(params, context):
+    """The cross-attention K/V projections of one attention layer. For a
+    denoise loop the text context is step-invariant, so callers compute
+    this ONCE per edit and pass the result as `kv=` (XLA does not hoist
+    these matmuls out of `lax.scan` bodies)."""
+    return (L.linear(params["to_k"], context),
+            L.linear(params["to_v"], context))
+
+
+def attention_layer(params, x, context=None, *, heads, context_mask=None,
+                    kv=None):
     """Multi-head attention over (B, N, C) with optional cross context.
 
     QKV projections hit the MXU as single big matmuls — for SELF attention
@@ -81,9 +102,16 @@ def attention_layer(params, x, context=None, *, heads, context_mask=None):
     loop-invariant and hoisted by XLA). The core runs through the Pallas
     flash kernel (core.flash_attention.dispatch).
     `context_mask`: boolean (.., 1, M) — False keys are excluded from the
-    softmax (used by reference-only control to mask bank tokens)."""
+    softmax (used by reference-only control to mask bank tokens).
+    `kv`: optional precomputed (k, v) from `project_kv` (loop-invariant
+    cross-attention context hoisted out of the denoise scan)."""
     b, n, c = x.shape
-    if context is None:
+    if kv is not None:
+        q = L.linear(params["to_q"], x)
+        k, v = kv
+        k = k.astype(x.dtype)
+        v = v.astype(x.dtype)
+    elif context is None:
         w_qkv = jnp.concatenate([params["to_q"]["kernel"],
                                  params["to_k"]["kernel"],
                                  params["to_v"]["kernel"]], axis=1)
@@ -118,9 +146,10 @@ def init_transformer_block(key, dim, context_dim, dtype=jnp.float32):
 
 
 def transformer_block(params, x, context, *, heads, ref=None,
-                      attn_weight=0.0, hw=None):
+                      attn_weight=0.0, hw=None, kv=None):
     """ref/attn_weight/hw: reference-only control hook on the self-attn
-    (engine/refctrl.py; reference stable_diffusion_reference.py:335-440)."""
+    (engine/refctrl.py; reference stable_diffusion_reference.py:335-440).
+    kv: precomputed cross-attention (k, v) for attn2 (see project_kv)."""
     norm_x = L.layer_norm(params["norm1"], x)
     if ref is not None and ref.attn_active(attn_weight):
         if ref.mode == "write":
@@ -133,7 +162,7 @@ def transformer_block(params, x, context, *, heads, ref=None,
         a = attention_layer(params["attn1"], norm_x, heads=heads)
     x = x + a
     x = x + attention_layer(params["attn2"], L.layer_norm(params["norm2"], x),
-                            context, heads=heads)
+                            context, heads=heads, kv=kv)
     h = L.geglu(params["ff"]["net"]["0"]["proj"],
                 L.layer_norm(params["norm3"], x))
     x = x + L.linear(params["ff"]["net"]["2"], h)
@@ -160,9 +189,18 @@ def init_spatial_transformer(key, channels, context_dim, *, depth=1,
     }
 
 
+def init_spatial_kv(params, context):
+    """project_kv for every transformer block of one spatial transformer."""
+    return {i: project_kv(params["transformer_blocks"][i]["attn2"], context)
+            for i in params["transformer_blocks"]}
+
+
 def spatial_transformer(params, x, context, *, heads, use_linear=False,
-                        num_groups=32, ref=None, attn_weight=0.0):
-    """Flatten NHWC -> (B, H*W, C), run transformer blocks, residual add."""
+                        num_groups=32, ref=None, attn_weight=0.0, kv=None):
+    """Flatten NHWC -> (B, H*W, C), run transformer blocks, residual add.
+
+    kv: optional {block_index: (k, v)} of precomputed cross-attention
+    context projections (init_spatial_kv)."""
     b, h, w, c = x.shape
     residual = x
     # eps 1e-6: ldm/modules/attention.py:88-89 Normalize; single-pass
@@ -178,7 +216,8 @@ def spatial_transformer(params, x, context, *, heads, use_linear=False,
     for i in range(len(params["transformer_blocks"])):
         hidden = transformer_block(params["transformer_blocks"][str(i)],
                                    hidden, context, heads=heads, ref=ref,
-                                   attn_weight=attn_weight, hw=(h, w))
+                                   attn_weight=attn_weight, hw=(h, w),
+                                   kv=kv[str(i)] if kv else None)
     if use_linear:
         hidden = L.linear(params["proj_out"], hidden)
         hidden = hidden.reshape(b, h, w, c)

@@ -118,11 +118,25 @@ def _scale_residual(res, scale, scale_map):
     return out
 
 
+def context_kv(params, cfg: ControlNetConfig, context):
+    """Precompute the encoder+mid cross-attention (k, v) projections —
+    the ControlNet twin of unet.context_kv (down.* / mid keys only)."""
+    kv = {}
+    for bi, blk in params["down_blocks"].items():
+        for li in blk.get("attentions", {}):
+            kv[f"down.{bi}.{li}"] = B.init_spatial_kv(
+                blk["attentions"][li], context)
+    kv["mid"] = B.init_spatial_kv(params["mid_block"]["attentions"]["0"],
+                                  context)
+    return kv
+
+
 def apply(params, cfg: ControlNetConfig, sample, timesteps,
           encoder_hidden_states, controlnet_cond, *,
           conditioning_scale=1.0,
           conditioning_scale_map: Optional[jnp.ndarray] = None,
-          guess_mode: bool = False, ref=None, hint_embedding=None):
+          guess_mode: bool = False, ref=None, hint_embedding=None,
+          ctx_kv=None):
     """Returns (down_residuals tuple(12), mid_residual).
 
     `controlnet_cond`: (B, H*8, W*8, 3) image-space condition in [0, 1].
@@ -138,6 +152,7 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
     temb = U.time_embed(params, ucfg, timesteps, sample.dtype)
     g = ucfg.norm_num_groups
     n_down = len(ucfg.block_out_channels)
+    ctx_kv = ctx_kv or {}
     attn_w = refctrl.controlnet_attn_weights(cfg) if ref is not None else None
 
     if hint_embedding is not None:
@@ -160,6 +175,7 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
                     blk["attentions"][str(li)], h, encoder_hidden_states,
                     heads=heads, use_linear=ucfg.use_linear_projection,
                     num_groups=g, ref=ref,
+                    kv=ctx_kv.get(f"down.{bi}.{li}"),
                     attn_weight=attn_w[f"down.{bi}.{li}"] if attn_w else 0.0)
             else:
                 h = U._gn_hook(ref, h, refctrl.gn_weight_down(bi, n_down))
@@ -168,7 +184,7 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
             h = B.downsample(blk["downsamplers"]["0"], h)
             residuals.append(h)
     h = U.middle(params, ucfg, h, temb, encoder_hidden_states, ref=ref,
-                 attn_w=attn_w)
+                 attn_w=attn_w, ctx_kv=ctx_kv)
 
     down = [L.conv2d(params["controlnet_down_blocks"][str(i)], r, padding=0)
             for i, r in enumerate(residuals)]
@@ -190,13 +206,14 @@ def apply(params, cfg: ControlNetConfig, sample, timesteps,
 def multi_controlnet_apply(param_list, cfg_list, sample, timesteps,
                            encoder_hidden_states, cond_list, scale_list,
                            scale_map_list=None, guess_mode=False, ref=None,
-                           hint_embeddings=None):
+                           hint_embeddings=None, ctx_kvs=None):
     """Sum residual stacks from several ControlNets (the reference's
     MultiControlNet path: SAM control + inpaint control,
     editany_lora.py:814-882). `ref` is applied to the LAST net only
     (reference `model.nets[-1]`, stable_diffusion_reference.py:999)."""
     scale_map_list = scale_map_list or [None] * len(param_list)
     hint_embeddings = hint_embeddings or [None] * len(param_list)
+    ctx_kvs = ctx_kvs or [None] * len(param_list)
     down_acc, mid_acc = None, None
     n = len(param_list)
     for i, (p, c, cond, s, smap) in enumerate(zip(
@@ -205,7 +222,8 @@ def multi_controlnet_apply(param_list, cfg_list, sample, timesteps,
                           cond, conditioning_scale=s,
                           conditioning_scale_map=smap, guess_mode=guess_mode,
                           ref=ref if i == n - 1 else None,
-                          hint_embedding=hint_embeddings[i])
+                          hint_embedding=hint_embeddings[i],
+                          ctx_kv=ctx_kvs[i])
         if down_acc is None:
             down_acc, mid_acc = list(down), mid
         else:

@@ -142,11 +142,35 @@ def _gn_hook(ref, h, weight: float):
     return ref.read_gn(h)
 
 
+def context_kv(params, cfg: UNetConfig, context):
+    """Precompute every cross-attention (k, v) projection of the context.
+
+    The text context is invariant across denoise steps; hoisting these
+    ~32 small matmuls out of the `lax.scan` body removes their per-step
+    dispatch + weight-fetch cost (XLA does not LICM them out of while
+    loops). Keys mirror the attn_w paths: down.{bi}.{li} / mid / up.{bi}.{li}.
+    Pass the result as `apply(..., ctx_kv=...)`; omitted entries fall back
+    to in-step projection."""
+    kv = {}
+    for bi, blk in params["down_blocks"].items():
+        for li in blk.get("attentions", {}):
+            kv[f"down.{bi}.{li}"] = B.init_spatial_kv(
+                blk["attentions"][li], context)
+    kv["mid"] = B.init_spatial_kv(params["mid_block"]["attentions"]["0"],
+                                  context)
+    for bi, blk in params["up_blocks"].items():
+        for li in blk.get("attentions", {}):
+            kv[f"up.{bi}.{li}"] = B.init_spatial_kv(
+                blk["attentions"][li], context)
+    return kv
+
+
 def encode(params, cfg: UNetConfig, sample, temb, context, *, ref=None,
-           attn_w=None):
+           attn_w=None, ctx_kv=None):
     """conv_in + down path. Returns (hidden, residuals list of 12)."""
     g = cfg.norm_num_groups
     n_down = len(cfg.block_out_channels)
+    ctx_kv = ctx_kv or {}
     h = L.conv2d(params["conv_in"], sample, padding=1)
     residuals = [h]
     for bi in range(n_down):
@@ -159,7 +183,7 @@ def encode(params, cfg: UNetConfig, sample, temb, context, *, ref=None,
                 h = B.spatial_transformer(
                     blk["attentions"][str(li)], h, context, heads=heads,
                     use_linear=cfg.use_linear_projection, num_groups=g,
-                    ref=ref,
+                    ref=ref, kv=ctx_kv.get(f"down.{bi}.{li}"),
                     attn_weight=attn_w[f"down.{bi}.{li}"] if attn_w else 0.0)
             else:
                 # AdaIN hook: plain DownBlock2D only, gn_weight 1 - bi/n
@@ -173,7 +197,7 @@ def encode(params, cfg: UNetConfig, sample, temb, context, *, ref=None,
 
 
 def middle(params, cfg: UNetConfig, h, temb, context, *, ref=None,
-           attn_w=None):
+           attn_w=None, ctx_kv=None):
     g = cfg.norm_num_groups
     mid = params["mid_block"]
     heads = cfg.heads_for_block(len(cfg.block_out_channels) - 1)
@@ -181,6 +205,7 @@ def middle(params, cfg: UNetConfig, h, temb, context, *, ref=None,
     h = B.spatial_transformer(mid["attentions"]["0"], h, context, heads=heads,
                               use_linear=cfg.use_linear_projection,
                               num_groups=g, ref=ref,
+                              kv=(ctx_kv or {}).get("mid"),
                               attn_weight=attn_w["mid"] if attn_w else 0.0)
     h = B.resnet_block(mid["resnets"]["1"], h, temb, num_groups=g)
     # AdaIN hook wraps the whole mid block, gn_weight 0
@@ -189,10 +214,11 @@ def middle(params, cfg: UNetConfig, h, temb, context, *, ref=None,
 
 
 def decode(params, cfg: UNetConfig, h, residuals, temb, context, *, ref=None,
-           attn_w=None):
+           attn_w=None, ctx_kv=None):
     g = cfg.norm_num_groups
     residuals = list(residuals)
     n_up = len(cfg.up_block_types)
+    ctx_kv = ctx_kv or {}
     for bi in range(n_up):
         blk = params["up_blocks"][str(bi)]
         has_attn = "attentions" in blk
@@ -205,7 +231,7 @@ def decode(params, cfg: UNetConfig, h, residuals, temb, context, *, ref=None,
                 h = B.spatial_transformer(
                     blk["attentions"][str(li)], h, context, heads=heads,
                     use_linear=cfg.use_linear_projection, num_groups=g,
-                    ref=ref,
+                    ref=ref, kv=ctx_kv.get(f"up.{bi}.{li}"),
                     attn_weight=attn_w[f"up.{bi}.{li}"] if attn_w else 0.0)
             else:
                 # plain UpBlock2D, gn_weight bi/n (reference :937-941)
@@ -217,23 +243,25 @@ def decode(params, cfg: UNetConfig, h, residuals, temb, context, *, ref=None,
 
 
 def apply(params, cfg: UNetConfig, sample, timesteps, encoder_hidden_states,
-          *, down_block_residuals=None, mid_block_residual=None, ref=None):
+          *, down_block_residuals=None, mid_block_residual=None, ref=None,
+          ctx_kv=None):
     """UNet forward: (B,H,W,C_in) latents -> (B,H,W,C_out) prediction.
 
     `down_block_residuals` (tuple of 12) and `mid_block_residual` carry
     ControlNet outputs; multi-ControlNet callers pre-sum their stacks.
     `ref`: refctrl.RefState for reference-only control (write/read pass).
+    `ctx_kv`: precomputed cross-attention projections (see context_kv).
     """
     attn_w = refctrl.unet_attn_weights(cfg) if ref is not None else None
     temb = time_embed(params, cfg, timesteps, sample.dtype)
     h, residuals = encode(params, cfg, sample, temb, encoder_hidden_states,
-                          ref=ref, attn_w=attn_w)
+                          ref=ref, attn_w=attn_w, ctx_kv=ctx_kv)
     h = middle(params, cfg, h, temb, encoder_hidden_states, ref=ref,
-               attn_w=attn_w)
+               attn_w=attn_w, ctx_kv=ctx_kv)
     if down_block_residuals is not None:
         residuals = [r + c.astype(r.dtype)
                      for r, c in zip(residuals, down_block_residuals)]
     if mid_block_residual is not None:
         h = h + mid_block_residual.astype(h.dtype)
     return decode(params, cfg, h, residuals, temb, encoder_hidden_states,
-                  ref=ref, attn_w=attn_w)
+                  ref=ref, attn_w=attn_w, ctx_kv=ctx_kv)

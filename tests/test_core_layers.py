@@ -75,6 +75,39 @@ def test_conv2d_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
 
 
+def test_conv2d_9shift_matches_native():
+    """The 9-shifted-matmul lowering (EA_CONV9) is the same contraction as
+    lax.conv — same values up to fp32 accumulation order."""
+    rng = np.random.default_rng(31)
+    x = jnp.array(rng.standard_normal((2, 12, 12, 24), dtype=np.float32))
+    k = jnp.array(rng.standard_normal((3, 3, 24, 16), dtype=np.float32) * 0.1)
+    b = jnp.array(rng.standard_normal(16, dtype=np.float32))
+    got = layers._conv2d_9shift(k, x) + b
+    want = layers.conv2d({"kernel": k, "bias": b}, x, stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout,temb", [(64, 32, True), (32, 32, False)])
+def test_resnet_fused_kernel_matches_reference(cin, cout, temb):
+    """The fused resnet Pallas kernel (interpret mode here; dispatched on
+    real TPU only) reproduces the composed GN+SiLU+conv+temb+skip ops."""
+    from editanything_tpu.models import blocks as B
+    rng = np.random.default_rng(32)
+    key = jax.random.PRNGKey(7)
+    params = B.init_resnet_block(key, cin, cout, 48 if temb else None)
+    x = jnp.array(rng.standard_normal((2, 16, 16, cin), dtype=np.float32))
+    trow = jnp.array(rng.standard_normal((2, cout), dtype=np.float32)) \
+        if temb else None
+    got = kernels._resnet_diff(params, x,
+                               trow if trow is not None
+                               else jnp.zeros((2, cout), x.dtype),
+                               32, 1e-5)
+    want = kernels._resnet_reference(params, x, trow, 32, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_attention_reference_matches_torch_sdpa():
     rng = np.random.default_rng(4)
     q = rng.standard_normal((2, 4, 33, 40), dtype=np.float32)
