@@ -9,9 +9,9 @@ LOG=/tmp/chip_session.log
 date >> $LOG
 
 stage() {
-  echo "=== $1" >> $LOG
-  shift
-  timeout "$1" "${@:2}" >> $LOG 2>&1
+  name=$1; to=$2; shift 2
+  echo "=== $name" >> $LOG
+  timeout "$to" "$@" >> $LOG 2>&1
   echo "--- rc=$?" >> $LOG
 }
 
@@ -24,14 +24,15 @@ print('chip ok', float(jnp.sum((x@x).astype(jnp.float32))))"
 # 1. conv lowering A/B (tiny compiles)
 stage conv_ab 900 python bench/profile_components.py --section conv
 
-# 2. fused resnet probe, small shape (THE risky compile — watchdog 900 s)
-stage rn_small 900 python /tmp/rn_probe.py small
+# 2. fused resnet probe, small shape (THE risky compile — own process)
+stage rn_small 900 python bench/rn_probe.py small
 
-# 3. fused resnet probe, mid + real shapes (only useful if small passed)
-stage rn_mid 900 python /tmp/rn_probe.py mid
-stage rn_up3 900 python /tmp/rn_probe.py up3
+# 3. larger shapes (only meaningful if small passed)
+stage rn_mid 900 python bench/rn_probe.py mid
+stage rn_up3 900 python bench/rn_probe.py up3
+stage rn_up3w 900 python bench/rn_probe.py up3w
 
 # 4. headline bench with the kv-hoisted denoise program (big compile)
 stage bench 3000 python bench.py
 
-tail -40 $LOG
+tail -60 $LOG
