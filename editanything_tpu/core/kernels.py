@@ -628,7 +628,11 @@ def _resnet_kernel(x_ref, gn1s_ref, gn1b_ref, w1_ref, b1_ref, trow_ref,
                 tap = src_ref[:]
                 off = dy * w + dx
                 if off:
-                    tap = pltpu.roll(tap, shift=-off % hw, axis=0)
+                    # static-shift jnp.roll lowers to slice+concat, which
+                    # Mosaic supports for bf16 (tpu.dynamic_rotate — what
+                    # pltpu.roll emits even for static shifts — is
+                    # 32-bit-only on this toolchain, measured on chip)
+                    tap = jnp.roll(tap, -off, axis=0)
                 valid = (ycoord + dy >= 0) & (ycoord + dy < h) \
                     & (xcoord + dx >= 0) & (xcoord + dx < w)
                 tap = jnp.where(valid, tap, jnp.zeros_like(tap))
@@ -650,7 +654,7 @@ def _resnet_kernel(x_ref, gn1s_ref, gn1b_ref, w1_ref, b1_ref, trow_ref,
 
     # --- conv1 + bias + temb -> GN2 -> SiLU -> hn
     hacc = conv9(xn_scr, w1_ref) \
-        + (trow_ref[:].astype(f32) + b1_ref[:].astype(f32))
+        + (trow_ref[0].astype(f32) + b1_ref[:].astype(f32))
     s2 = jnp.sum(hacc, axis=0, keepdims=True)
     q2 = jnp.sum(hacc * hacc, axis=0, keepdims=True)
     sc2, bi2 = _rn_group_stats(s2, q2, cout, num_groups,
@@ -690,7 +694,9 @@ def _resnet_pallas(x, gn1s, gn1b, w1, b1, trow, gn2s, gn2b, w2, b2, wsc,
             row(cin), row(cin),
             pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0)),
             row(cout),
-            pl.BlockSpec((1, cout), lambda i: (i, 0)),        # per-image temb
+            # per-image temb row, carried 3-D so the (sublane, lane) block
+            # dims are (1, cout) == the trailing array dims for any n
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
             row(cout), row(cout),
             pl.BlockSpec((9, cout, cout), lambda i: (0, 0, 0)),
             row(cout),
@@ -706,8 +712,8 @@ def _resnet_pallas(x, gn1s, gn1b, w1, b1, trow, gn2s, gn2b, w2, b2, wsc,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=_INTERPRET,
-    )(x.reshape(n, hw, cin), gn1s, gn1b, w1, b1, trow, gn2s, gn2b, w2, b2,
-      wsc, bsc)
+    )(x.reshape(n, hw, cin), gn1s, gn1b, w1, b1,
+      trow.reshape(n, 1, cout), gn2s, gn2b, w2, b2, wsc, bsc)
     return out.reshape(n, h, w, cout)
 
 
