@@ -607,9 +607,10 @@ def _resnet_kernel(x_ref, gn1s_ref, gn1b_ref, w1_ref, b1_ref, trow_ref,
                    num_groups: int, eps: float, has_shortcut: bool):
     """One image per grid step, activations flattened to (H*W, C).
 
-    x_ref (1, H*W, Cin) -> o_ref (1, H*W, Cout). trow_ref (1, Cout) is the
-    image's time-embedding projection (linear(silu(temb)), computed in XLA —
-    a per-image row). xn/hn scratch hold the normalized+SiLU activations."""
+    x_ref (1, H*W, Cin) -> o_ref (1, H*W, Cout). trow_ref (1, 1, Cout) is
+    the image's time-embedding projection (linear(silu(temb)), computed in
+    XLA — a per-image block; the kernel reads trow_ref[0]). xn/hn scratch
+    hold the normalized+SiLU activations."""
     from jax.experimental.pallas import tpu as pltpu
     hw = h * w
     cout = o_ref.shape[2]
