@@ -358,7 +358,23 @@ def main(argv=None):
     c.add_argument("--data-path", required=True)
     c.set_defaults(fn=cmd_caption_data)
 
-    args = p.parse_args(argv)
+    # training programs: delegate to their own argparse mains (the
+    # reference's sam_train_sd21.py / tools/train_dreambooth_inpaint.py /
+    # utils/texutal_inversion.py script surface)
+    for name, module in (("train-controlnet",
+                          "editanything_tpu.train.train_controlnet"),
+                         ("train-dreambooth",
+                          "editanything_tpu.train.train_dreambooth"),
+                         ("train-ti", "editanything_tpu.train.train_ti")):
+        tp = sub.add_parser(name, add_help=False)
+        tp.set_defaults(fn=None, train_module=module)
+
+    args, extra = p.parse_known_args(argv)
+    if getattr(args, "train_module", None):
+        import importlib
+        return importlib.import_module(args.train_module).main(extra)
+    if extra:
+        p.error(f"unrecognized arguments: {' '.join(extra)}")
     return args.fn(args)
 
 

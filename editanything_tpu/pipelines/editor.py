@@ -74,6 +74,10 @@ class EditAnythingEditor:
             self._amg_encode, self._amg_generate = build_amg(
                 sam_cfg, self.amg_cfg)
         self.click_points: List[Tuple[int, int, int]] = []
+        # textual-inversion staging (editany_lora.py:738 path + the
+        # run_texutal_inversion.sh placeholder)
+        self.textinv_stage_dir = "./utils/tmp/textinv/img"
+        self.textinv_token = "<new-obj>"
 
     # -- captioning -----------------------------------------------------------
 
@@ -206,21 +210,47 @@ class EditAnythingEditor:
         """Load a TI embedding into the text encoder if `path` exists;
         otherwise stage the ref crop as TI training data
         (editany_lora.py:732-745 load-or-prepare behavior). Returns True
-        if an embedding was loaded."""
+        if an embedding was loaded. On load, the placeholder token is
+        registered with the tokenizer so prompts containing it resolve to
+        the appended rows."""
         import os
         if path and os.path.exists(path):
             import numpy as _np
             from editanything_tpu.train.textual_inversion import \
                 load_textual_inversion
             embeds = _np.load(path)
-            self.bundle.text, _ = load_textual_inversion(
+            self.bundle.text, ids = load_textual_inversion(
                 self.bundle.text, embeds)
+            self.bundle.tokenizer.add_placeholder(self.textinv_token, ids)
             return True
-        stage_dir = "./utils/tmp/textinv/img"
-        os.makedirs(stage_dir, exist_ok=True)
+        os.makedirs(self.textinv_stage_dir, exist_ok=True)
         from PIL import Image as PILImage
-        PILImage.fromarray(crop).save(os.path.join(stage_dir, "ref.png"))
+        PILImage.fromarray(crop).save(
+            os.path.join(self.textinv_stage_dir, "ref.png"))
+        print(f"No textual-inversion embedding found; staged the ref crop "
+              f"in {self.textinv_stage_dir} — train with "
+              f"`editanything-tpu train-ti --train-data-dir "
+              f"{self.textinv_stage_dir}` (editany_lora.py:737-745)")
         return False
+
+    def train_staged_textinv(self, output_path: str, *,
+                             max_steps: int = 3000, num_vectors: int = 10,
+                             batch_size: int = 4, resolution: int = 512,
+                             lr: float = 5e-4, seed: int = 0,
+                             **kwargs) -> str:
+        """Run textual inversion on the staged ref crop(s) and load the
+        learned embedding into this editor's bundle (the reference's
+        run_texutal_inversion.sh flow made callable). Returns output_path;
+        subsequent process(ref_textinv=True, ref_textinv_path=output_path)
+        — or prompts containing the placeholder — use the embedding."""
+        from editanything_tpu.train.train_ti import train_textual_inversion
+        train_textual_inversion(
+            data_dir=self.textinv_stage_dir, output_path=output_path,
+            bundle=self.bundle, placeholder_token=self.textinv_token,
+            max_steps=max_steps, num_vectors=num_vectors,
+            batch_size=batch_size, resolution=resolution, lr=lr,
+            seed=seed, **kwargs)
+        return output_path
 
     # -- the main edit ----------------------------------------------------------
 

@@ -104,6 +104,16 @@ class CLIPTokenizer:
         self.bos_id = self.encoder["<|startoftext|>"]
         self.eos_id = self.encoder["<|endoftext|>"]
         self.context_length = context_length
+        # textual-inversion placeholders: literal string -> token id rows
+        # appended to the embedding table (the reference's
+        # tokenizer.add_tokens + resize_token_embeddings,
+        # utils/texutal_inversion.py:623-660). A multi-vector placeholder
+        # maps one string to all its vector ids.
+        self.placeholders: dict = {}
+
+    def add_placeholder(self, token: str, ids: Sequence[int]) -> None:
+        """Register a placeholder string that encodes to `ids` verbatim."""
+        self.placeholders[token] = [int(i) for i in ids]
 
     @classmethod
     def from_hf(cls, vocab_json: str, merges_txt: str,
@@ -160,6 +170,21 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Text -> token ids (no BOS/EOS, no padding)."""
+        if self.placeholders and any(ph in text for ph in self.placeholders):
+            # splice placeholder ids verbatim around BPE-encoded segments
+            pattern = "|".join(
+                re.escape(ph) for ph in
+                sorted(self.placeholders, key=len, reverse=True))
+            ids: List[int] = []
+            for piece in re.split(f"({pattern})", text):
+                if piece in self.placeholders:
+                    ids.extend(self.placeholders[piece])
+                elif piece.strip():
+                    ids.extend(self._encode_bpe(piece))
+            return ids
+        return self._encode_bpe(text)
+
+    def _encode_bpe(self, text: str) -> List[int]:
         ids: List[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
         for token in _PAT.findall(text):

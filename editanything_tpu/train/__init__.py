@@ -3,3 +3,6 @@ from editanything_tpu.train.controlnet_train import (
     make_train_step,
     init_train_state,
 )
+# runnable finetune programs (lazy-import heavy deps inside):
+#   train.train_controlnet.main / train.train_dreambooth.main /
+#   train.train_ti.main — also exposed as CLI subcommands (apps/cli.py)
