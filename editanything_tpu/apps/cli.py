@@ -47,11 +47,16 @@ def _build_bundle(spec_path: str):
     with open(spec_path) as f:
         spec = json.load(f)
     tok = CLIPTokenizer(vocab_path=spec["tokenizer_merges"])
+    # optional kohya LoRA list: [{"path": ..., "multiplier": 1.0}, ...] or
+    # plain path strings (editany_lora.py:197-329 list-of-LoRA support)
+    lora_specs = [
+        (s["path"], s.get("multiplier", 1.0)) if isinstance(s, dict)
+        else (s, 1.0) for s in spec.get("lora", [])]
     return load_bundle(
         unet_path=spec["unet"], vae_path=spec["vae"],
         text_path=spec["text"], tokenizer=tok,
         controlnet_paths=spec.get("controlnets", {}),
-        safety_path=spec.get("safety")), spec
+        safety_path=spec.get("safety"), lora_specs=lora_specs), spec
 
 
 def _build_editor(spec_path: str):

@@ -40,9 +40,16 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
+        # lightning .ckpt layout (cldm/model.py:12-21)
         obj = obj["state_dict"]
+    elif isinstance(obj, dict) and isinstance(obj.get("model"), dict):
+        # detectron2 (VLPart swinbase_part_0a0000.pth) and DETR-family
+        # (groundingdino_swint_ogc.pth) wrap weights under "model"
+        obj = obj["model"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in obj.items()}
+            for k, v in obj.items()
+            if hasattr(v, "numpy")
+            or isinstance(v, (np.ndarray, int, float))}
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,10 @@ def merge_kohya_lora(trees: Dict[str, dict], sd: Mapping[str, np.ndarray],
             skipped += 1
             continue
         node = _get_path(tree, path)
+        if node is None and path and path[0] == "text_model":
+            # kohya lora_te_* keys keep the HF text_model. prefix that
+            # clip_text_to_tree strips (convert.py:138)
+            node = _get_path(tree, path[1:])
         if node is None or "kernel" not in node:
             skipped += 1
             continue
@@ -159,6 +163,34 @@ def merge_kohya_lora(trees: Dict[str, dict], sd: Mapping[str, np.ndarray],
             continue
         merged += 1
     return {"merged": merged, "skipped": skipped}
+
+
+def load_ti_file(path: str) -> np.ndarray:
+    """Load a textual-inversion embedding file -> (N, D) float32.
+
+    Formats: .npy (this package's trainer), torch .bin/.pt dicts — both the
+    diffusers {placeholder: (N, D)} layout the reference saves
+    (utils/texutal_inversion.py:160-168 save_progress, loaded at
+    editany_lora.py:734) and the A1111 {"string_to_param": {"*": ...}}
+    layout — and single-tensor .safetensors."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+    elif path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        tensors = load_file(path)
+        arr = next(iter(tensors.values()))
+    else:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "string_to_param" in obj:
+            obj = next(iter(obj["string_to_param"].values()))
+        elif isinstance(obj, dict):
+            obj = next(v for v in obj.values()
+                       if hasattr(v, "ndim") or isinstance(v, np.ndarray))
+        arr = obj.detach().float().numpy() if hasattr(obj, "detach") \
+            else np.asarray(obj)
+    arr = np.asarray(arr, np.float32)
+    return arr[None] if arr.ndim == 1 else arr
 
 
 def load_textual_inversion(clip_tree: dict, embedding: np.ndarray,

@@ -124,10 +124,19 @@ def place_on_mesh(bundle: ModelBundle, mesh) -> ModelBundle:
 def load_bundle(*, unet_path: str, vae_path: str, text_path: str,
                 tokenizer, controlnet_paths: Dict[str, str],
                 unet_cfg: Optional[C.UNetConfig] = None,
+                vae_cfg: Optional[C.VAEConfig] = None,
+                text_cfg: Optional[C.CLIPTextConfig] = None,
+                controlnet_cfg: Optional[C.ControlNetConfig] = None,
                 safety_path: Optional[str] = None,
+                safety_cfg=None,
+                lora_specs=(),
                 dtype=jnp.bfloat16) -> ModelBundle:
     """Build a bundle from diffusers-layout safetensors checkpoints
-    (the formats inventoried in SURVEY.md section 5 'Checkpoint / resume')."""
+    (the formats inventoried in SURVEY.md section 5 'Checkpoint / resume').
+
+    lora_specs: sequence of (path, multiplier) kohya-format LoRA files
+    merged into the UNet + text encoder at load time (the reference
+    applies LoRA at pipeline build, editany_lora.py:197-329,381)."""
     from editanything_tpu.checkpoints import (
         load_torch_state_dict, diffusers_to_tree, clip_text_to_tree)
 
@@ -139,20 +148,32 @@ def load_bundle(*, unet_path: str, vae_path: str, text_path: str,
                                                     SafetyChecker)
         safety = SafetyChecker(
             safety_checker_to_tree(load_torch_state_dict(safety_path)),
-            CLIPVisionConfig())
+            safety_cfg or CLIPVisionConfig())
 
     ucfg = unet_cfg or C.sd15_unet()
-    vcfg = C.VAEConfig()
-    tcfg = C.clip_vit_l() if ucfg.cross_attention_dim == 768 \
-        else C.openclip_vit_h()
+    vcfg = vae_cfg or C.VAEConfig()
+    tcfg = text_cfg or (C.clip_vit_l() if ucfg.cross_attention_dim == 768
+                        else C.openclip_vit_h())
     cns = {}
     for name, path in controlnet_paths.items():
-        cn_cfg = C.ControlNetConfig(unet=ucfg)
+        cn_cfg = controlnet_cfg or C.ControlNetConfig(unet=ucfg)
         cns[name] = (cn_cfg, diffusers_to_tree(
             load_torch_state_dict(path), dtype=dtype))
+    unet = diffusers_to_tree(load_torch_state_dict(unet_path), dtype=dtype)
+    text = clip_text_to_tree(load_torch_state_dict(text_path), dtype=dtype)
+    for spec in lora_specs:
+        path, mult = spec if isinstance(spec, (tuple, list)) else (spec, 1.0)
+        from editanything_tpu.checkpoints.lora import merge_kohya_lora
+        counts = merge_kohya_lora({"unet": unet, "text_encoder": text},
+                                  load_torch_state_dict(path),
+                                  multiplier=float(mult))
+        if counts["merged"] == 0:
+            import warnings
+            warnings.warn(f"LoRA {path}: no targets merged "
+                          f"(skipped {counts['skipped']})")
     return ModelBundle(
         unet_cfg=ucfg, vae_cfg=vcfg, text_cfg=tcfg,
-        unet=diffusers_to_tree(load_torch_state_dict(unet_path), dtype=dtype),
+        unet=unet,
         vae=diffusers_to_tree(load_torch_state_dict(vae_path), dtype=dtype),
-        text=clip_text_to_tree(load_torch_state_dict(text_path), dtype=dtype),
+        text=text,
         tokenizer=tokenizer, controlnets=cns, dtype=dtype, safety=safety)

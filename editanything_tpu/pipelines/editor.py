@@ -215,10 +215,10 @@ class EditAnythingEditor:
         the appended rows."""
         import os
         if path and os.path.exists(path):
-            import numpy as _np
+            from editanything_tpu.checkpoints.lora import load_ti_file
             from editanything_tpu.train.textual_inversion import \
                 load_textual_inversion
-            embeds = _np.load(path)
+            embeds = load_ti_file(path)
             self.bundle.text, ids = load_textual_inversion(
                 self.bundle.text, embeds)
             self.bundle.tokenizer.add_placeholder(self.textinv_token, ids)
