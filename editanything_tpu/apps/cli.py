@@ -158,12 +158,9 @@ def reference_call_to_kwargs(ref_args, ref_kwargs=None) -> dict:
     EditAnythingEditor.process's keyword-only surface.
 
     Gradio image dicts ({"image":…, "mask":…} from the brush/drag widgets,
-    editany_lora.py:652-656,704-706) are unpacked; reference-only knobs with
-    no TPU equivalent (eta — UniPC ignores it; condition_model — a bundle
-    weight-swap, not a per-call kwarg; ref_sam_scale/ref_inpaint_scale) are
-    dropped with a warning when set to a non-default value."""
-    import warnings
-
+    editany_lora.py:652-656,704-706) are unpacked; every reference knob maps
+    1:1 (eta -> the DDIM eta; condition_model -> the SAM-ControlNet weight
+    swap; ref_sam_scale/ref_inpaint_scale -> the ref write-pass scales)."""
     import numpy as _np
     ref = dict(zip(REF_PROCESS_PARAMS, ref_args))
     for k, v in (ref_kwargs or {}).items():
@@ -190,10 +187,11 @@ def reference_call_to_kwargs(ref_args, ref_kwargs=None) -> dict:
     direct = ("enable_all_generate", "control_scale", "enable_auto_prompt",
               "a_prompt", "n_prompt", "num_samples", "image_resolution",
               "detect_resolution", "ddim_steps", "guess_mode", "scale",
-              "seed", "enable_tile", "alpha_weight", "use_scale_map",
+              "seed", "eta", "enable_tile", "alpha_weight", "use_scale_map",
               "style_fidelity", "reference_attn", "reference_adain",
               "ref_prompt", "ref_auto_prompt", "ref_textinv",
-              "ref_textinv_path", "ref_scale")
+              "ref_textinv_path", "ref_scale", "ref_sam_scale",
+              "ref_inpaint_scale", "condition_model")
     for k in direct:
         if k in ref and ref[k] is not None:
             out[k] = ref[k]
@@ -212,13 +210,10 @@ def reference_call_to_kwargs(ref_args, ref_kwargs=None) -> dict:
             out["ref_mask"] = _np.asarray(rimg["mask"], _np.uint8)
     elif rimg is not None:
         out["ref_image"] = _np.asarray(rimg, _np.uint8)
-
-    for k, default in (("eta", 0.0), ("condition_model", None),
-                       ("ref_sam_scale", None), ("ref_inpaint_scale", None)):
-        v = ref.get(k, default)
-        if v not in (default, "EditAnything"):
-            warnings.warn(f"replay: reference kwarg {k}={v!r} has no "
-                          "per-call TPU equivalent and was dropped")
+    # eta > 0 only has effect under the DDIM sampler (exactly the
+    # reference's behavior: UniPC ignores eta)
+    if out.get("eta", 0.0):
+        out.setdefault("sampler", "ddim")
     return out
 
 

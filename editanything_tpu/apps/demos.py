@@ -52,6 +52,38 @@ DEMO_PRESETS = {
 }
 
 
+def build_combined_editors(bundles: Dict[str, "ModelBundle"], *,
+                           sam=None, captioner=None,
+                           lora_specs: Dict[str, Sequence] = None,
+                           **editor_kw) -> "OrderedDict":
+    """The combined app's model composition (/root/reference/app.py:15-76):
+    one EditAnythingEditor per named tab ("Edit Anything", "Beauty", ...),
+    all SHARING one SAM predictor/AMG and one BLIP2 captioner — the
+    reference constructs both models once and passes them into each
+    EditAnythingLoraModel. LoRA merging (the Beauty tab's cuteGirlMix4 at
+    weight 0.5, app.py:41-52) happens per-bundle via lora_specs:
+    {tab: [(lora_sd_or_path, multiplier), ...]}.
+
+    Pair with apps.ui.create_combined_app(editors) for the two-tab UI."""
+    from editanything_tpu.pipelines import EditAnythingEditor
+
+    editors = OrderedDict()
+    for name, bundle in bundles.items():
+        for spec in (lora_specs or {}).get(name, ()):
+            sd, mult = spec if isinstance(spec, (tuple, list)) else (spec, 1.0)
+            if isinstance(sd, str):
+                from editanything_tpu.checkpoints import \
+                    load_torch_state_dict
+                sd = load_torch_state_dict(sd)
+            from editanything_tpu.checkpoints.lora import merge_kohya_lora
+            merge_kohya_lora({"unet": bundle.unet,
+                              "text_encoder": bundle.text}, sd,
+                             multiplier=float(mult))
+        editors[name] = EditAnythingEditor(bundle, sam=sam,
+                                           captioner=captioner, **editor_kw)
+    return editors
+
+
 def show_semantic_image_label(
         image_hw: Tuple[int, int],
         regions: Sequence[Tuple[np.ndarray, str]],

@@ -1,14 +1,22 @@
 """Gradio UI — `create_demo_template` matching the reference surface.
 
-Behavioral spec: /root/reference/editany_demo.py:9-466 (Click/Brush/All
-tabs, control-scale + samples + seed sliders, auto-prompt checkbox,
-pos/neg prompts, tile-refinement controls, cross-image-drag accordion,
-advanced options) and the thin wrappers editany.py:10-26 /
-editany_beauty.py / editany_handsome.py / app.py.
+Behavioral spec: /root/reference/editany_demo.py:9-466: three input tabs
+(Click🖱 with point-prompt radio + clear-points/reset-image buttons,
+Brush🖌️ sketch, All-region) each wired to its own run button; control-scale
+/ samples / seed sliders; auto-prompt checkbox; pos/neg prompts; tile
+refinement toggle + alignment slider; the cross-image-drag accordion (ref
+sketch upload, ref auto prompt + prompt, reference_attn/adain, pos/content
+control scales, TI toggle + path, style fidelity, attn/GN weights, freq
+ref scale); advanced options (predefined mask, image/refine resolutions,
+guess mode, SAM detect res, steps, guidance, alpha weight, scale-map
+toggle, eta, condition-model path); outputs refined/init/ref galleries +
+prompt text. Run buttons pass the SAME 35-positional parameter list as the
+reference (editany_lora.py:609-644 order), so the `process` callable here
+is signature-compatible with reference pickles and the replay CLI.
 
 gradio is not part of this deployment image; the module import-gates it so
-the rest of the framework stays importable headless. The `process` /
-`process_image_click` callables have the same roles as the reference's.
+the rest of the framework stays importable headless (tests drive the
+Blocks graph through a mock gradio module).
 """
 
 from __future__ import annotations
@@ -30,86 +38,132 @@ def require_gradio():
             "points (editanything_tpu.apps.cli) or install gradio")
 
 
+DEFAULT_N_PROMPT = ("longbody, lowres, bad anatomy, bad hands, missing "
+                    "fingers, extra digit, fewer digits, cropped, worst "
+                    "quality, low quality, NSFW")
+
+
 def create_demo_template(process: Callable,
                          process_image_click: Optional[Callable] = None,
                          *, examples=None, INFO: str = "EditAnything-TPU",
                          WARNING_INFO: Optional[str] = None,
-                         enable_auto_prompt_default: bool = True):
-    """Builds the edit UI (editany_demo.py:9 contract)."""
+                         enable_auto_prompt_default: bool = False):
+    """Builds the edit UI (editany_demo.py:9 contract). `process` takes the
+    reference's 35 positionals (apps.cli.REF_PROCESS_PARAMS order);
+    `process_image_click` takes (origin_image, point_label, clicked_points,
+    image_resolution) and returns (overlay, clicked_points, click_mask)."""
     require_gradio()
 
     block = gr.Blocks()
     with block:
+        clicked_points = gr.State([])
+        origin_image = gr.State(None)
+        click_mask = gr.State(None)
         gr.Markdown(f"## {INFO}")
         with gr.Row():
             with gr.Column():
-                source_image_click = gr.Image(
-                    type="numpy", interactive=True,
-                    label="Image: click to select objects")
-                with gr.Row():
-                    point_prompt = gr.Radio(
-                        choices=["Foreground Point", "Background Point"],
-                        value="Foreground Point", label="Point Label")
-                    clear_button_click = gr.Button(value="Clear Click Points")
-                source_image_brush = gr.Image(
-                    type="numpy", tool="sketch", label="Brush the mask")
-                enable_all_generate = gr.Checkbox(
-                    label="Generate the whole image", value=False)
-                prompt = gr.Textbox(label="Prompt")
-                enable_auto_prompt = gr.Checkbox(
-                    label="Auto generation of text prompt with BLIP2",
-                    value=enable_auto_prompt_default)
-                a_prompt = gr.Textbox(
-                    label="Positive Prompt",
-                    value="best quality, extremely detailed")
-                n_prompt = gr.Textbox(
-                    label="Negative Prompt",
-                    value="longbody, lowres, bad anatomy, bad hands, "
-                          "missing fingers, extra digit, fewer digits, "
-                          "cropped, worst quality, low quality")
+                with gr.Tab("Click🖱"):
+                    source_image_click = gr.Image(
+                        type="numpy", interactive=True,
+                        label="Image: click the region you want to edit")
+                    with gr.Row():
+                        point_prompt = gr.Radio(
+                            choices=["Foreground Point", "Background Point"],
+                            value="Foreground Point", label="Point Label")
+                        clear_button_click = gr.Button(
+                            value="Clear Points")
+                        clear_button_image = gr.Button(value="Reset Image")
+                    run_button_click = gr.Button(value="Run EditAnything")
+                with gr.Tab("Brush🖌️"):
+                    source_image_brush = gr.Image(
+                        type="numpy", tool="sketch",
+                        label="Image: cover the edit region with sketch")
+                    run_button = gr.Button(value="Run EditAnything")
+                with gr.Tab("All region"):
+                    source_image_clean = gr.Image(
+                        type="numpy", label="Image: upload an image")
+                    run_button_allregion = gr.Button(
+                        value="Run EditAnything")
                 control_scale = gr.Slider(
-                    label="Mask Align strength", minimum=0, maximum=1,
-                    value=0.5, step=0.1)
-                num_samples = gr.Slider(
-                    label="Images", minimum=1, maximum=12, value=2, step=1)
-                seed = gr.Slider(label="Seed", minimum=-1, maximum=2147483647,
-                                 step=1, randomize=True)
-                enable_tile = gr.Checkbox(
-                    label="Tile refinement for high resolution generation",
-                    value=True)
-                refine_alignment_ratio = gr.Slider(
-                    label="Alignment Strength", minimum=0, maximum=1,
-                    value=0.95, step=0.05)
-                with gr.Accordion("Cross-image Drag", open=False):
-                    ref_image = gr.Image(type="numpy", label="Reference")
-                    ref_auto_prompt = gr.Checkbox(
-                        label="Ref. auto prompt", value=True)
-                    reference_attn = gr.Checkbox(
-                        label="reference_attn", value=True)
-                    reference_adain = gr.Checkbox(
-                        label="reference_adain", value=False)
-                    attention_auto_machine_weight = gr.Slider(
-                        label="attn weight", minimum=0, maximum=1.0,
-                        value=1.0, step=0.01)
-                    gn_auto_machine_weight = gr.Slider(
-                        label="gn weight", minimum=0, maximum=1.0,
-                        value=1.0, step=0.01)
-                    style_fidelity = gr.Slider(
-                        label="Style fidelity", minimum=0, maximum=1.0,
-                        value=0.5, step=0.01)
-                    ref_scale = gr.Slider(
-                        label="Frequency ref scale", minimum=0, maximum=1.0,
-                        value=0.0, step=0.01)
-                with gr.Accordion("Advanced options", open=False):
+                    label="SAM Mask Alignment Strength", minimum=0,
+                    maximum=1, value=0.5, step=0.1)
+                with gr.Row():
+                    num_samples = gr.Slider(
+                        label="Images", minimum=1, maximum=12, value=2,
+                        step=1)
+                    seed = gr.Slider(label="Seed", minimum=-1,
+                                     maximum=2147483647, step=1,
+                                     randomize=True)
+                enable_auto_prompt = gr.Checkbox(
+                    label="Prompt Auto Generation (BLIP2)",
+                    value=enable_auto_prompt_default)
+                with gr.Row():
+                    a_prompt = gr.Textbox(
+                        label="Positive Prompt",
+                        value="best quality, extremely detailed,")
+                    n_prompt = gr.Textbox(label="Negative Prompt",
+                                          value=DEFAULT_N_PROMPT)
+                with gr.Row():
+                    enable_tile = gr.Checkbox(
+                        label="High-resolution Refinement", value=True)
+                    refine_alignment_ratio = gr.Slider(
+                        label="Similarity with Initial Results", minimum=0,
+                        maximum=1, value=0.95, step=0.05)
+                with gr.Accordion("Cross-image Drag Options", open=False):
+                    ref_image = gr.Image(
+                        type="numpy", tool="sketch",
+                        label="Reference image: cover the region to use "
+                              "with sketch")
+                    with gr.Row():
+                        ref_auto_prompt = gr.Checkbox(
+                            label="Ref. Auto Prompt", value=True)
+                        ref_prompt = gr.Textbox(
+                            label="Prompt",
+                            value="best quality, extremely detailed, ")
+                    with gr.Row():
+                        reference_attn = gr.Checkbox(
+                            label="reference_attn", value=True)
+                        reference_adain = gr.Checkbox(
+                            label="reference_adain", value=True)
+                    with gr.Row():
+                        ref_sam_scale = gr.Slider(
+                            label="Pos Control Scale", minimum=0,
+                            maximum=1.0, value=0.3, step=0.1)
+                        ref_inpaint_scale = gr.Slider(
+                            label="Content Control Scale", minimum=0,
+                            maximum=1.0, value=0.2, step=0.1)
+                    with gr.Row():
+                        ref_textinv = gr.Checkbox(
+                            label="Use textual inversion token",
+                            value=False)
+                        ref_textinv_path = gr.Textbox(
+                            label="textual inversion token path",
+                            value=None)
+                    with gr.Accordion("Advanced options", open=False):
+                        style_fidelity = gr.Slider(
+                            label="Style fidelity", minimum=0, maximum=1.0,
+                            value=0.0, step=0.1)
+                        attention_auto_machine_weight = gr.Slider(
+                            label="Attention Reference Weight", minimum=0,
+                            maximum=1.0, value=1.0, step=0.01)
+                        gn_auto_machine_weight = gr.Slider(
+                            label="GroupNorm Reference Weight", minimum=0,
+                            maximum=1.0, value=1.0, step=0.01)
+                        ref_scale = gr.Slider(
+                            label="Frequency Reference Guidance Scale",
+                            minimum=0, maximum=1.0, value=0.0, step=0.1)
+                with gr.Accordion("Advanced Options", open=False):
                     mask_image = gr.Image(
-                        type="numpy", label="Predefined mask")
+                        type="numpy", label="Predefined mask of the edit "
+                        "region (use with the Brush tab)")
                     image_resolution = gr.Slider(
                         label="Image Resolution", minimum=256, maximum=768,
                         value=512, step=64)
                     refine_image_resolution = gr.Slider(
-                        label="Refine Resolution", minimum=256, maximum=8192,
-                        value=1024, step=64)
-                    guess_mode = gr.Checkbox(label="Guess Mode", value=False)
+                        label="Refine Resolution", minimum=256,
+                        maximum=8192, value=1024, step=64)
+                    guess_mode = gr.Checkbox(label="Guess Mode",
+                                             value=False)
                     detect_resolution = gr.Slider(
                         label="SAM Detect Resolution", minimum=128,
                         maximum=2048, value=1024, step=1)
@@ -122,73 +176,110 @@ def create_demo_template(process: Callable,
                     alpha_weight = gr.Slider(
                         label="Alpha weight", minimum=0, maximum=1,
                         value=0.0, step=0.1)
-                run_button = gr.Button(label="Run")
+                    use_scale_map = gr.Checkbox(label="Use scale map",
+                                                value=False)
+                    eta = gr.Number(label="eta (DDIM)", value=0.0)
+                    condition_model = gr.Textbox(
+                        label="Condition model path", value="EditAnything")
             with gr.Column():
-                result_refined = gr.Gallery(label="Refined results")
-                result_gallery = gr.Gallery(label="Results")
-                result_mask = gr.Gallery(label="Segmentation / mask")
-                result_prompt = gr.Textbox(label="Prompt used")
+                result_gallery_refine = gr.Gallery(
+                    label="Output High quality")
+                result_gallery_init = gr.Gallery(label="Output Low quality")
+                result_gallery_ref = gr.Gallery(label="Output Ref")
+                result_text = gr.Textbox(label="ALL Prompt Text")
 
-        inputs = [source_image_brush, enable_all_generate, mask_image,
-                  control_scale, enable_auto_prompt, prompt, a_prompt,
-                  n_prompt, num_samples, image_resolution, detect_resolution,
-                  ddim_steps, guess_mode, scale, seed, alpha_weight,
-                  enable_tile, refine_image_resolution,
-                  refine_alignment_ratio, ref_image, ref_auto_prompt,
-                  reference_attn, reference_adain,
-                  attention_auto_machine_weight, gn_auto_machine_weight,
-                  style_fidelity, ref_scale]
-        run_button.click(fn=process, inputs=inputs,
-                         outputs=[result_refined, result_gallery,
-                                  result_mask, result_prompt])
+        outputs = [result_gallery_refine, result_gallery_init,
+                   result_gallery_ref, result_text]
+
+        def ips(source, all_generate, mask):
+            """The 35 positionals in editany_lora.py:609-644 order."""
+            return [source, gr.State(all_generate), mask, control_scale,
+                    enable_auto_prompt, a_prompt, n_prompt, num_samples,
+                    image_resolution, detect_resolution, ddim_steps,
+                    guess_mode, scale, seed, eta, enable_tile,
+                    refine_alignment_ratio, refine_image_resolution,
+                    alpha_weight, use_scale_map, condition_model, ref_image,
+                    attention_auto_machine_weight, gn_auto_machine_weight,
+                    style_fidelity, reference_attn, reference_adain,
+                    ref_prompt, ref_sam_scale, ref_inpaint_scale,
+                    ref_auto_prompt, ref_textinv, ref_textinv_path,
+                    ref_scale]
+
+        run_button.click(fn=process,
+                         inputs=ips(source_image_brush, False, mask_image),
+                         outputs=outputs)
+        run_button_allregion.click(
+            fn=process, inputs=ips(source_image_clean, True, mask_image),
+            outputs=outputs)
+        run_button_click.click(
+            fn=process, inputs=ips(origin_image, False, click_mask),
+            outputs=outputs)
+
         if process_image_click is not None:
+            source_image_click.upload(
+                lambda image: (image.copy() if image is not None else None),
+                inputs=[source_image_click], outputs=[origin_image])
             source_image_click.select(
                 fn=process_image_click,
-                inputs=[source_image_click, point_prompt],
-                outputs=[source_image_click, mask_image])
+                inputs=[origin_image, point_prompt, clicked_points,
+                        image_resolution],
+                outputs=[source_image_click, clicked_points, click_mask])
+        clear_button_click.click(
+            fn=lambda original: ((original.copy(), [], None)
+                                 if original is not None
+                                 else (None, [], None)),
+            inputs=[origin_image],
+            outputs=[source_image_click, clicked_points, click_mask])
+        clear_button_image.click(
+            fn=lambda: (None, [], None, None, None), inputs=[],
+            outputs=[source_image_click, clicked_points, click_mask,
+                     result_gallery_init, result_text])
         if WARNING_INFO:
             gr.Markdown(WARNING_INFO)
         if examples:
-            gr.Examples(examples=examples, inputs=[prompt])
+            gr.Examples(examples=examples, inputs=[a_prompt])
     return block
 
 
 def create_demo(editor, **kw):
-    """editany.py:10-26 equivalent: wire an EditAnythingEditor to the UI."""
-    require_gradio()
+    """editany.py:10-26 equivalent: wire an EditAnythingEditor to the UI.
 
-    def process(brush, all_gen, mask_img, control_scale, auto_prompt, prompt,
-                a_prompt, n_prompt, num_samples, image_resolution,
-                detect_resolution, ddim_steps, guess_mode, scale, seed,
-                alpha_weight, enable_tile, refine_res, refine_ratio,
-                ref_image, ref_auto_prompt, reference_attn, reference_adain,
-                attn_w, gn_w, style_fidelity, ref_scale):
-        image = brush["image"] if isinstance(brush, dict) else brush
-        mask = brush.get("mask") if isinstance(brush, dict) else mask_img
-        tile, results, seg, used = editor.process(
-            image=image, mask=mask, prompt=prompt, a_prompt=a_prompt,
-            n_prompt=n_prompt, enable_auto_prompt=auto_prompt,
-            enable_all_generate=all_gen, num_samples=int(num_samples),
-            image_resolution=int(image_resolution),
-            detect_resolution=int(detect_resolution),
-            ddim_steps=int(ddim_steps), scale=scale,
-            control_scale=control_scale, seed=int(seed),
-            guess_mode=guess_mode, alpha_weight=alpha_weight,
-            use_alpha_mixing=alpha_weight > 0, enable_tile=enable_tile,
-            refine_image_resolution=int(refine_res),
-            refine_alignment_ratio=refine_ratio,
-            ref_image=ref_image,
-            ref_mask=None if ref_image is None else
-            (255 * (ref_image.sum(-1) < 750)).astype("uint8"),
-            reference_attn=reference_attn, reference_adain=reference_adain,
-            attention_auto_weight=attn_w, gn_auto_weight=gn_w,
-            style_fidelity=style_fidelity, ref_scale=ref_scale)
+    The run handlers take the reference's 35-positional signature and map
+    through apps.cli.reference_call_to_kwargs — one mapping shared by the
+    UI, the replay CLI, and reference pickles."""
+    require_gradio()
+    from editanything_tpu.apps.cli import reference_call_to_kwargs
+
+    def process(*ref_args):
+        kwargs = reference_call_to_kwargs(ref_args)
+        tile, results, seg, used = editor.process(**kwargs)
         return tile, list(results), seg, used
 
-    def process_image_click(image, point_label, evt: "gr.SelectData"):
+    def process_image_click(origin_image, point_label, clicked_points,
+                            image_resolution, evt: "gr.SelectData" = None):
         x, y = evt.index
+        # the clicked-points STATE is authoritative (the reference threads
+        # it through gradio state, editany_demo.py:427-434); sync the
+        # editor so parallel sessions/clears behave
+        editor.click_points = list(clicked_points or [])
         overlay, mask = editor.process_image_click(
-            image, x, y, point_label == "Foreground Point")
-        return overlay, mask
+            origin_image, x, y, point_label == "Foreground Point",
+            detect_resolution=int(image_resolution))
+        return overlay, list(editor.click_points), mask
 
-    return create_demo_template(process, process_image_click, **kw)
+    block = create_demo_template(process, process_image_click, **kw)
+    return block
+
+
+def create_combined_app(editors: dict, **kw):
+    """The reference's combined app (app.py:15-76): one tab per editor
+    (e.g. "Edit Anything" + "Beauty"), all sharing the SAM/BLIP2 instances
+    their editors were constructed with."""
+    require_gradio()
+    block = gr.Blocks()
+    with block:
+        with gr.Tabs():
+            for name, editor in editors.items():
+                with gr.TabItem(name):
+                    create_demo(editor, **kw)
+    return block

@@ -49,6 +49,11 @@ class DenoiseConfig:
     controlnets: tuple = ()              # tuple of ControlNetConfig
     num_steps: int = 30
     sampler: str = "unipc"               # "unipc" | "ddim"
+    # DDIM stochasticity (the reference's eta slider, editany_demo.py:265;
+    # UniPC/PLMS/DPM ignore it exactly as diffusers' schedulers do). When
+    # > 0 the inputs dict must carry "eta_key" (PRNGKey data) for the
+    # per-step noise draw.
+    eta: float = 0.0
     guidance: bool = True                # classifier-free guidance
     guess_mode: bool = False
     # inpainting:
@@ -186,10 +191,15 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             ref_ctx = inputs["ref_context"].astype(latents.dtype)
             rdown, rmid = None, None
             if cfg.controlnets:
+                # the write pass takes its own conditioning scales (the
+                # reference's ref_controlnet_conditioning_scale — UI "Pos /
+                # Content Control Scale", editany_lora.py:818-828)
+                ref_scales = inputs.get("ref_controlnet_scales") \
+                    or inputs["controlnet_scales"]
                 rdown, rmid = CN.multi_controlnet_apply(
                     params["controlnets"], list(cfg.controlnets), ref_xt,
                     tb_ref, ref_ctx, inputs["ref_controlnet_conds"],
-                    inputs["controlnet_scales"], None,
+                    ref_scales, None,
                     guess_mode=cfg.guess_mode, ref=w_cn,
                     hint_embeddings=hoisted.get("ref"))
             U.apply(params["unet"], cfg.unet, ref_xt, tb_ref, ref_ctx,
@@ -418,6 +428,15 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             state, _ = jax.lax.scan(body, state, jnp.arange(n))
             return final_paste(state.sample, inputs).astype(latents.dtype)
     elif cfg.sampler == "ddim":
+        def _eta_noise(inputs, i, shape):
+            """Per-step stochastic-DDIM noise (ddim_hacked.py:219-224),
+            derived from the folded eta_key so the scan stays carry-free."""
+            if cfg.eta <= 0.0:
+                return None
+            key = jax.random.fold_in(
+                jnp.asarray(inputs["eta_key"], jnp.uint32), i)
+            return jax.random.normal(key, shape, jnp.float32)
+
         def run(params, latents, context, inputs):
             hoisted = precompute_hints(params, inputs, latents.dtype, context)
 
@@ -433,7 +452,9 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                     out, cache = model_output_cached(
                         params, x.astype(latents.dtype), t, context,
                         inputs, hoisted, cache, i % k_enc == 0)
-                    x, _ = ddim_mod.ddim_step(schedule, x, out, t, t_prev)
+                    x, _ = ddim_mod.ddim_step(
+                        schedule, x, out, t, t_prev, eta=cfg.eta,
+                        noise=_eta_noise(inputs, i, x.shape))
                     x = blend_outside_mask(x, i, inputs)
                     return (x, cache), ()
 
@@ -447,7 +468,9 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                 t_prev = jnp.where(i + 1 < n, ts[jnp.minimum(i + 1, n - 1)], -1)
                 out = model_output(params, x.astype(latents.dtype), t,
                                    context, inputs, hoisted)
-                x, _ = ddim_mod.ddim_step(schedule, x, out, t, t_prev)
+                x, _ = ddim_mod.ddim_step(
+                    schedule, x, out, t, t_prev, eta=cfg.eta,
+                    noise=_eta_noise(inputs, i, x.shape))
                 x = blend_outside_mask(x, i, inputs)
                 return x, ()
 

@@ -114,6 +114,7 @@ class EditPipeline(GenerationPipeline):
                  alignment_ratio: Optional[float] = None,
                  alpha_weight: float = 0.5,
                  guess_mode: bool = False, sampler: str = "unipc",
+                 eta: float = 0.0,
                  seed: int = 0, encoder_interval: int = 1,
                  return_latents: bool = False,
                  # cross-image drag (reference-only control):
@@ -125,7 +126,9 @@ class EditPipeline(GenerationPipeline):
                  attention_auto_weight: float = 1.0,
                  gn_auto_weight: float = 1.0,
                  style_fidelity: float = 0.5,
-                 ref_scale: float = 0.0):
+                 ref_scale: float = 0.0,
+                 ref_sam_scale: Optional[float] = None,
+                 ref_inpaint_scale: Optional[float] = None):
         """Returns (num_samples, H, W, 3) uint8 edited images.
 
         ref_image/ref_mask enable reference-only control: the masked ref
@@ -148,6 +151,7 @@ class EditPipeline(GenerationPipeline):
         dcfg = DenoiseConfig(
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs(self.controls),
             num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
+            eta=float(eta) if sampler == "ddim" else 0.0,
             inpaint_mode=self.inpaint_mode,
             alignment_ratio=alignment_ratio, alpha_weight=alpha_weight,
             ref=ref_cfg,
@@ -191,6 +195,8 @@ class EditPipeline(GenerationPipeline):
             # raw uint32 key data; the engine folds the step index in for
             # the reference's fresh-noise-per-step renoising (:2043)
             inputs["noise_key"] = jax.random.PRNGKey(seed + 1)
+        if dcfg.eta > 0.0:
+            inputs["eta_key"] = jax.random.PRNGKey(seed + 2)
         if scale_map is not None:
             # the per-pixel map applies to the first (SAM) control only
             smap = jax.image.resize(jnp.asarray(scale_map, jnp.float32),
@@ -232,6 +238,16 @@ class EditPipeline(GenerationPipeline):
                 jnp.asarray(rimg / 255.0)[None], (num_samples, h, w, 3)
             ).astype(b.dtype)
             inputs["ref_controlnet_conds"] = ref_conds
+            # write-pass conditioning scales (editany_lora.py:818-828:
+            # [ref_sam_scale, ref_inpaint_scale]); default = main scales
+            if ref_sam_scale is not None or ref_inpaint_scale is not None:
+                rs = [float(ref_sam_scale if ref_sam_scale is not None
+                            else scales[0])]
+                if len(self.controls) > 1:
+                    rs.append(float(ref_inpaint_scale
+                                    if ref_inpaint_scale is not None
+                                    else scales[-1]))
+                inputs["ref_controlnet_scales"] = rs
 
         # "mix": outside-mask region starts as the renoised original
         # (reference :1970-1977)

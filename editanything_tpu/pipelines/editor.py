@@ -78,6 +78,38 @@ class EditAnythingEditor:
         # run_texutal_inversion.sh placeholder)
         self.textinv_stage_dir = "./utils/tmp/textinv/img"
         self.textinv_token = "<new-obj>"
+        # condition-model switching (editany_lora.py:677-693): name/path ->
+        # weight swap on the SAM ControlNet slot, no pipeline rebuild.
+        # "EditAnything" is the reference's sentinel for "keep the default".
+        self.current_condition_model = "EditAnything"
+        # optional registry: name -> checkpoint path (the reference's
+        # config_dict names, demos.CONFIG_DICT) for non-path names
+        self.condition_model_paths: dict = {}
+
+    def set_condition_model(self, name_or_path: str) -> bool:
+        """Hot-swap the SAM-condition ControlNet weights (the reference
+        rebuilds the whole pipeline on condition-model change,
+        editany_lora.py:677-693; here the compiled programs persist and
+        only the param tree swaps). Returns True if a swap happened."""
+        import os
+        if name_or_path in (None, "", self.current_condition_model):
+            return False
+        path = self.condition_model_paths.get(name_or_path, name_or_path)
+        if not os.path.exists(path):
+            import warnings
+            warnings.warn(
+                f"condition model {name_or_path!r} is not a local path and "
+                "has no entry in editor.condition_model_paths; keeping "
+                f"{self.current_condition_model!r} (zero-egress image "
+                "cannot fetch HF repos)")
+            return False
+        from editanything_tpu.checkpoints import (diffusers_to_tree,
+                                                  load_torch_state_dict)
+        params = diffusers_to_tree(load_torch_state_dict(path),
+                                   dtype=self.bundle.dtype)
+        self.bundle.swap_controlnet("sam", params)
+        self.current_condition_model = name_or_path
+        return True
 
     # -- captioning -----------------------------------------------------------
 
@@ -263,6 +295,8 @@ class EditAnythingEditor:
                 detect_resolution: int = 1024,
                 ddim_steps: int = 30, scale: float = 9.0,
                 control_scale: float = 0.5, seed: int = 0,
+                eta: float = 0.0, sampler: str = "unipc",
+                condition_model: Optional[str] = None,
                 guess_mode: bool = False,
                 use_scale_map: bool = False,
                 scale_map: Optional[np.ndarray] = None,
@@ -280,10 +314,14 @@ class EditAnythingEditor:
                 reference_attn: bool = True, reference_adain: bool = False,
                 attention_auto_weight: float = 1.0,
                 gn_auto_weight: float = 1.0,
-                style_fidelity: float = 0.5, ref_scale: float = 0.0):
+                style_fidelity: float = 0.5, ref_scale: float = 0.0,
+                ref_sam_scale: Optional[float] = None,
+                ref_inpaint_scale: Optional[float] = None):
         """Returns (results_tile, results, [condition_map, mask], prompt) —
         the reference's process() contract (editany_lora.py:609-938)."""
         import os
+        if condition_model is not None:
+            self.set_condition_model(condition_model)
         if os.environ.get("EA_SAVE_INPUTS") == "1":
             # pickle-replay capture (reference @save_input_to_file on
             # process, annotator/util.py:77-95; replay via the CLI)
@@ -343,7 +381,7 @@ class EditAnythingEditor:
             condition_image=condition_image, negative_prompt=n_prompt,
             num_samples=num_samples, image_resolution=image_resolution,
             num_steps=ddim_steps, guidance_scale=scale,
-            control_scale=control_scale,
+            control_scale=control_scale, sampler=sampler, eta=eta,
             scale_map=scale_map if use_scale_map else None,
             alignment_ratio=alignment_ratio, alpha_weight=alpha_weight,
             guess_mode=guess_mode, seed=seed,
@@ -351,7 +389,8 @@ class EditAnythingEditor:
             reference_attn=reference_attn, reference_adain=reference_adain,
             attention_auto_weight=attention_auto_weight,
             gn_auto_weight=gn_auto_weight,
-            style_fidelity=style_fidelity, ref_scale=ref_scale)
+            style_fidelity=style_fidelity, ref_scale=ref_scale,
+            ref_sam_scale=ref_sam_scale, ref_inpaint_scale=ref_inpaint_scale)
 
         results_tile = []
         if enable_tile and self.tile_control is not None:

@@ -293,16 +293,59 @@ class TestReferenceReplay:
         assert kw["ref_mask"].shape == (96, 96, 3)
         assert kw["attention_auto_weight"] == 0.7
         assert kw["gn_auto_weight"] == 0.3
-        assert "eta" not in kw and "condition_model" not in kw
+        # eta/condition_model map through 1:1 now; eta=0 does not force
+        # the ddim sampler
+        assert kw["eta"] == 0.0 and "sampler" not in kw
+        assert kw["condition_model"] == "EditAnything"
 
-    def test_kwargs_override_and_warnings(self):
+    def test_kwargs_override(self):
         from editanything_tpu.apps.cli import reference_call_to_kwargs
         args = self._reference_args(_image(seed=24))
         kw = reference_call_to_kwargs(args, {"seed": 99, "ddim_steps": 7})
         assert kw["seed"] == 99 and kw["ddim_steps"] == 7
-        with pytest.warns(UserWarning, match="ref_sam_scale"):
-            reference_call_to_kwargs(
-                self._reference_args(_image(seed=24), ref_sam_scale=1.2))
+
+    def test_all_35_positionals_covered(self):
+        """Regression: every one of the reference's 35 process parameters
+        (editany_lora.py:609-644, incl. the ref-drag ones) is either mapped
+        to a native kwarg or deliberately consumed by the mapper — none is
+        silently dropped anymore (round-3 gap)."""
+        from editanything_tpu.apps.cli import (REF_PROCESS_PARAMS,
+                                               reference_call_to_kwargs)
+        img = _image(seed=25)
+        ref_img = _image(seed=26)
+        args = self._reference_args(
+            img, np.zeros((96, 96), np.uint8),
+            eta=0.7, condition_model="/tmp/cn.safetensors",
+            ref_image={"image": ref_img,
+                       "mask": np.full((96, 96, 3), 255, np.uint8)},
+            ref_prompt="rp", ref_sam_scale=0.3, ref_inpaint_scale=0.2,
+            ref_auto_prompt=True, ref_textinv=True,
+            ref_textinv_path="/tmp/e.npy", ref_scale=0.4,
+            use_scale_map=True, guess_mode=True, alpha_weight=0.25,
+            enable_tile=True, refine_alignment_ratio=0.9,
+            refine_image_resolution=256)
+        kw = reference_call_to_kwargs(args)
+        assert kw["eta"] == 0.7 and kw["sampler"] == "ddim"
+        assert kw["condition_model"] == "/tmp/cn.safetensors"
+        assert kw["ref_sam_scale"] == 0.3
+        assert kw["ref_inpaint_scale"] == 0.2
+        assert kw["ref_prompt"] == "rp" and kw["ref_auto_prompt"] is True
+        assert kw["ref_textinv"] is True
+        assert kw["ref_textinv_path"] == "/tmp/e.npy"
+        assert kw["ref_scale"] == 0.4 and kw["use_scale_map"] is True
+        assert kw["alpha_weight"] == 0.25 and kw["guess_mode"] is True
+        assert kw["enable_tile"] is True
+        assert kw["refine_alignment_ratio"] == 0.9
+        assert kw["refine_image_resolution"] == 256
+        np.testing.assert_array_equal(kw["ref_image"], ref_img)
+        # structural guarantee: the mapper consumes all 34 positional
+        # names (source_image/mask_image fold into image/mask)
+        import inspect
+        from editanything_tpu.pipelines.editor import EditAnythingEditor
+        sig = set(inspect.signature(
+            EditAnythingEditor.process).parameters)
+        for k in kw:
+            assert k in sig, f"mapped kwarg {k} not accepted by process()"
 
 
 class TestScaleMapToggle:

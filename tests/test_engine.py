@@ -58,6 +58,69 @@ def test_ddim_sampler_variant(unet_params):
     assert out.shape == lat.shape and np.all(np.isfinite(np.asarray(out)))
 
 
+def test_ddim_eta_stochastic(unet_params):
+    """eta > 0 adds per-step noise (editany_demo.py:265 slider through
+    ddim_hacked.py:219-224): output differs from the deterministic run,
+    is reproducible for a fixed eta_key, and changes with the key."""
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    det = jax.jit(build_denoiser(
+        DenoiseConfig(unet=TINY, num_steps=STEPS, sampler="ddim"),
+        SCHED, TS))({"unet": unet_params}, lat, _ctx(),
+                    {"guidance_scale": 5.0})
+    run = jax.jit(build_denoiser(
+        DenoiseConfig(unet=TINY, num_steps=STEPS, sampler="ddim", eta=1.0),
+        SCHED, TS))
+    s1 = run({"unet": unet_params}, lat, _ctx(),
+             {"guidance_scale": 5.0, "eta_key": jax.random.PRNGKey(7)})
+    s1b = run({"unet": unet_params}, lat, _ctx(),
+              {"guidance_scale": 5.0, "eta_key": jax.random.PRNGKey(7)})
+    s2 = run({"unet": unet_params}, lat, _ctx(),
+             {"guidance_scale": 5.0, "eta_key": jax.random.PRNGKey(8)})
+    assert np.all(np.isfinite(np.asarray(s1)))
+    assert not np.allclose(np.asarray(det), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_ref_write_pass_scales(unet_params):
+    """ref_controlnet_scales (the reference's Pos/Content Control Scale
+    sliders -> ref_controlnet_conditioning_scale, editany_lora.py:818-828)
+    change the output; absent, the main scales apply."""
+    from editanything_tpu.engine.refctrl import RefConfig
+    cn_cfg = C.ControlNetConfig(unet=TINY)
+    cn = jax.tree.map(lambda x: x + 0.01,
+                      CN.init_controlnet(jax.random.PRNGKey(2), cn_cfg))
+    cfg = DenoiseConfig(unet=TINY, controlnets=(cn_cfg,), num_steps=STEPS,
+                        inpaint_mode="blend", alignment_ratio=0.5,
+                        ref=RefConfig(reference_attn=True,
+                                      reference_adain=False, do_cfg=True))
+    run = jax.jit(build_denoiser(cfg, SCHED, TS))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    base = {
+        "guidance_scale": 5.0,
+        "controlnet_conds": [jnp.zeros((1, 64, 64, 3)) + 0.3],
+        "controlnet_scales": [1.0],
+        "mask": jnp.ones((1, 8, 8, 1)),
+        "image_latents": jnp.zeros((1, 8, 8, 4)),
+        "noise": lat,
+        "ref_image_latents": jax.random.normal(jax.random.PRNGKey(3),
+                                               (1, 8, 8, 4)),
+        "ref_mask": jnp.ones((1, 8, 8, 1)),
+        "ref_context": jax.random.normal(jax.random.PRNGKey(4), (1, 4, 32)),
+        "ref_controlnet_conds": [jnp.zeros((1, 64, 64, 3)) + 0.7],
+    }
+    params = {"unet": unet_params, "controlnets": [cn]}
+    o_default = run(params, lat, _ctx(), base)
+    o_zero = run(params, lat, _ctx(),
+                 {**base, "ref_controlnet_scales": [0.0]})
+    o_one = run(params, lat, _ctx(),
+                {**base, "ref_controlnet_scales": [1.0]})
+    assert not np.allclose(np.asarray(o_zero), np.asarray(o_one))
+    # ref scale 1.0 == main scale 1.0 == the no-override default
+    np.testing.assert_allclose(np.asarray(o_default), np.asarray(o_one),
+                               atol=1e-6)
+
+
 def test_cfg_guidance_changes_output(unet_params):
     cfg = DenoiseConfig(unet=TINY, num_steps=STEPS)
     run = jax.jit(build_denoiser(cfg, SCHED, TS))
