@@ -51,7 +51,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,2,4,8")
     ap.add_argument("--latent", type=int, default=64)
-    ap.add_argument("--remat", default="dots", choices=["none", "dots", "full"],
+    ap.add_argument("--remat", default="dots", choices=["none", "dots", "full", "offload"],
                     help="dots (dots_saveable) fits up to b4 on one v5e chip; "
                          "b8 exceeds 16 GB HBM under every single-chip remat "
                          "mode (use the FSDP mesh for larger global batches)")
@@ -72,7 +72,8 @@ def main():
     unet_params = jax.jit(lambda k: U.init_unet(k, ucfg, dtype))(k1)
     cn_params = jax.jit(lambda k: CN.init_controlnet(k, cn_cfg, dtype))(k2)
     optimizer = make_optimizer(1e-5)
-    remat = {"none": False, "dots": True, "full": "full"}[args.remat]
+    remat = {"none": False, "dots": True, "full": "full",
+             "offload": "offload"}[args.remat]
     train_step = make_train_step(cn_cfg, make_schedule(), optimizer,
                                  remat=remat)
     state0 = jax.jit(lambda p: init_train_state(p, optimizer))(cn_params)

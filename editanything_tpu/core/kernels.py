@@ -788,10 +788,13 @@ def _resnet_vmem_need(h, w, cin, cout, itemsize):
     return act + wts + f32_tmp
 
 
-# Opt-in (EA_RESNET_FUSED=1): on this image the fused resnet's first Mosaic
-# compile has wedged the remote compile service (>25 min, took the tunnel
-# down with it), so the composed-XLA path stays the default until the
-# kernel has a recorded clean compile on the target chip.
+# Opt-in (EA_RESNET_FUSED=1), a REJECTED default (round 4): the kernel
+# compiles cleanly on chip now (3-58 s/shape) and wins its microbenchmark
+# 6x, but the whole-model A/B showed the pure-XLA 9-shift conv lowering
+# (core/layers.py EA_CONV9, default on TPU) captures the same win with
+# cross-op fusion this pallas_call forfeits — UNet fwd 19.34 ms (conv9)
+# vs 21.56 ms (this kernel) vs 27.83 ms (native conv). Full numbers in
+# PROFILE.md "Conv lowering decision".
 _RESNET_FUSED = os.environ.get("EA_RESNET_FUSED", "0") == "1"
 
 

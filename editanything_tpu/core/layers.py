@@ -73,13 +73,35 @@ def init_layer_norm(dim: int, dtype=jnp.float32):
 
 import os as _os
 
-# 3x3 stride-1 convs as 9 shifted matmuls (EA_CONV9=1): each tap is one
+# 3x3 stride-1 convs as 9 shifted matmuls: each tap is one
 # (B*H*W, Cin) @ (Cin, Cout) MXU matmul accumulated in fp32 — an
-# alternative lowering to XLA's native conv for shapes where the conv
-# path underperforms its equivalent-matmul roofline (see PROFILE.md up3
-# drill). Mathematically the same contraction; off by default until the
-# on-chip measurement says it wins.
-_CONV9 = _os.environ.get("EA_CONV9", "0") == "1"
+# alternative lowering to XLA's native conv. Mathematically the same
+# contraction. Default ON on TPU as of round 4: the bench/unet_ab.py
+# on-chip A/B measured SD1.5 UNet fwd (CFG b2) 27.8 -> 19.3 ms and
+# ControlNet 8.8 -> 7.0 ms with this lowering (PROFILE.md "conv lowering
+# decision"); EA_CONV9=0/1 forces it off/on (tests pin both paths).
+_CONV9_ENV = _os.environ.get("EA_CONV9")
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _conv9_enabled() -> bool:
+    if _CONV9_ENV is not None:
+        return _CONV9_ENV == "1"
+    from editanything_tpu.core.kernels import _on_tpu
+    return _on_tpu()
+
+
+def _conv9_wins(xshape, kshape) -> bool:
+    """Static-shape crossover, measured on chip (PROFILE.md "conv lowering
+    decision" probes): the 9-shift lowering wins at small M = B*H*W
+    (0.5-0.8x native at the CFG-batch-2 latency operating point: every
+    UNet/CN conv qualifies there); native conv wins back for M >= 32768
+    (1.7-3.4x against 9-shift at throughput batches, VAE-decoder pixel
+    resolutions, and high-res tile latents)."""
+    return xshape[0] * xshape[1] * xshape[2] <= 16384
 
 
 def _conv2d_9shift(kernel, x):
@@ -109,9 +131,10 @@ def conv2d(params, x, *, stride: int = 1, padding="SAME",
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     kernel = params["kernel"]
-    if (_CONV9 and stride == 1 and feature_group_count == 1
+    if (_conv9_enabled() and stride == 1 and feature_group_count == 1
             and kernel.shape[:2] == (3, 3)
-            and padding in ("SAME", [(1, 1), (1, 1)])):
+            and padding in ("SAME", [(1, 1), (1, 1)])
+            and (_CONV9_ENV == "1" or _conv9_wins(x.shape, kernel.shape))):
         y = _conv2d_9shift(kernel, x)
     else:
         y = jax.lax.conv_general_dilated(

@@ -77,6 +77,17 @@ def _cat2(x):
     return jnp.concatenate([x, x], axis=0)
 
 
+def _shard_fold(key):
+    """Decorrelate per-step noise across mesh shards: under
+    parallel.mesh_jit (shard_map over `data`) every shard sees the same
+    eta/mix key but different samples — folding in the shard index keeps
+    draws independent. A no-op outside a mapped `data` axis."""
+    try:
+        return jax.random.fold_in(key, jax.lax.axis_index("data"))
+    except NameError:
+        return key
+
+
 def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
                    timesteps):
     """Returns a pure jittable fn running the full sampling loop.
@@ -349,7 +360,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
         if cfg.inpaint_mode == "mix":
             key = jnp.asarray(inputs["noise_key"], jnp.uint32)
             noise = jax.random.normal(
-                jax.random.fold_in(jax.random.wrap_key_data(key), i),
+                _shard_fold(jax.random.fold_in(
+                    jax.random.wrap_key_data(key), i)),
                 img.shape, jnp.float32)
         else:
             if cfg.alignment_ratio is None:
@@ -433,8 +445,8 @@ def build_denoiser(cfg: DenoiseConfig, schedule: sched.NoiseSchedule,
             derived from the folded eta_key so the scan stays carry-free."""
             if cfg.eta <= 0.0:
                 return None
-            key = jax.random.fold_in(
-                jnp.asarray(inputs["eta_key"], jnp.uint32), i)
+            key = _shard_fold(jax.random.fold_in(
+                jnp.asarray(inputs["eta_key"], jnp.uint32), i))
             return jax.random.normal(key, shape, jnp.float32)
 
         def run(params, latents, context, inputs):

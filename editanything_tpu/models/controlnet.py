@@ -19,8 +19,11 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from editanything_tpu.core import layers as L
 from editanything_tpu.models import blocks as B
@@ -75,7 +78,19 @@ def init_controlnet(key, cfg: ControlNetConfig, dtype=jnp.float32):
 
 
 def _hint_embedding(params, cond):
-    """Downsampling conv stack: (B, H, W, 3) image-space hint -> (B, H/8, W/8, 320)."""
+    """Downsampling conv stack: (B, H, W, 3) image-space hint -> (B, H/8, W/8, 320).
+
+    Dispatch: above _HINT_ONESHOT_MAX px the one-shot stack's low-channel
+    activations blow up under TPU lane tiling (16 channels pad to 128 ->
+    8x HBM: two ~8 GB buffers at 4096^2, the round-4 tile-bucket OOM), so
+    huge hints route through the bit-exact tiled stack below."""
+    h, w = cond.shape[1:3]
+    if max(h, w) <= _HINT_ONESHOT_MAX or h % 8 or w % 8:
+        return _hint_embedding_oneshot(params, cond)
+    return _hint_embedding_tiled(params, cond)
+
+
+def _hint_embedding_oneshot(params, cond):
     emb = params["controlnet_cond_embedding"]
     h = L.silu(L.conv2d(emb["conv_in"], cond, padding=1))
     n = len(emb["blocks"])
@@ -84,6 +99,76 @@ def _hint_embedding(params, cond):
         h = L.silu(L.conv2d(emb["blocks"][str(i + 1)], h, stride=2,
                             padding=[(1, 1), (1, 1)]))
     return L.conv2d(emb["conv_out"], h, padding=1)
+
+
+# one-shot hint stack validated on chip up to 2048^2 (~2 GB lane-padded
+# activations); beyond that the tiled stack is required to fit HBM.
+_HINT_ONESHOT_MAX = int(os.environ.get("EA_HINT_ONESHOT_MAX", "2048"))
+
+
+def _hint_embedding_tiled(params, cond, tile: int = 512, halo: int = 32):
+    """Bit-exact tiled `_hint_embedding` for huge hints (4096^2+ refine).
+
+    Runs the stack over square tiles extended by a `halo` wider than the
+    stack's receptive-field radius (23 input px: conv_in contributes 1,
+    each s1/s2 pair 1+1 at its scale over scales 1/2/4), zeroing
+    out-of-image halo rows/cols after every conv so the zero state the
+    global computation's SAME padding implies is reproduced inside each
+    tile. The cropped tile interior is then exactly the one-shot result
+    (overlapping clamped tiles overwrite each other with identical
+    values). One lax.scan -> one tile-program compile; activations stay
+    O(tile^2) instead of O(image^2).
+    """
+    emb = params["controlnet_cond_embedding"]
+    b, H, W, c = cond.shape
+    th, tw = min(tile, H), min(tile, W)
+    from editanything_tpu.models.vae import _tile_starts
+    pos = np.asarray([(y, x) for y in _tile_starts(H, th, th)
+                      for x in _tile_starts(W, tw, tw)], np.int32)
+    condp = jnp.pad(cond, [(0, 0), (halo, halo), (halo, halo), (0, 0)])
+    eh, ew = th + 2 * halo, tw + 2 * halo
+
+    def stack(x, y0, x0):
+        def masked(h_, scale):
+            # tile-local row j at this scale sits at global input
+            # coordinate (t0 - halo) + j*scale; zero everything outside
+            # [0, H)x[0, W) (== the global stack's implicit zero state)
+            hj = jax.lax.broadcasted_iota(jnp.int32, (h_.shape[1], 1), 0)
+            wj = jax.lax.broadcasted_iota(jnp.int32, (1, h_.shape[2]), 1)
+            ok = (((y0 - halo) + hj * scale >= 0)
+                  & ((y0 - halo) + hj * scale < H)
+                  & ((x0 - halo) + wj * scale >= 0)
+                  & ((x0 - halo) + wj * scale < W))
+            return h_ * ok[None, :, :, None].astype(h_.dtype)
+
+        h_ = masked(L.silu(L.conv2d(emb["conv_in"], x, padding=1)), 1)
+        scale = 1
+        n = len(emb["blocks"])
+        for i in range(0, n, 2):
+            h_ = masked(L.silu(L.conv2d(emb["blocks"][str(i)], h_,
+                                        padding=1)), scale)
+            h_ = L.silu(L.conv2d(emb["blocks"][str(i + 1)], h_, stride=2,
+                                 padding=[(1, 1), (1, 1)]))
+            scale *= 2
+            h_ = masked(h_, scale)
+        return L.conv2d(emb["conv_out"], h_, padding=1)
+
+    crop = halo // 8
+    cout = emb["conv_out"]["kernel"].shape[-1]
+
+    def body(canvas, yx):
+        y0, x0 = yx[0], yx[1]
+        xt = jax.lax.dynamic_slice(condp, (0, y0, x0, 0), (b, eh, ew, c))
+        out = stack(xt, y0, x0)
+        out = jax.lax.dynamic_slice(
+            out, (0, crop, crop, 0), (b, th // 8, tw // 8, cout))
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, out, (0, y0 // 8, x0 // 8, 0))
+        return canvas, None
+
+    canvas = jnp.zeros((b, H // 8, W // 8, cout), cond.dtype)
+    canvas, _ = jax.lax.scan(body, canvas, jnp.asarray(pos))
+    return canvas
 
 
 def _resize_corners(img, h, w):

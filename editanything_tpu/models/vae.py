@@ -7,7 +7,14 @@ mid attention block). Latent scaling 0.18215 (cldm_v21.yaml:63).
 
 The reference needs VAE slicing / CPU offload to fit
 (stable_diffusion_controlnet_inpaint.py:454-461); on TPU the whole model runs
-in HBM and XLA fuses the norm/act chains — no slicing machinery.
+in HBM up to 2048^2 with XLA fusing the norm/act chains. Beyond that (the UI
+tile-refine slider reaches 8192, editany_demo.py:241-247) the decoder
+activations alone exceed HBM (~16 GB at 4096^2), so `encode_tiled` /
+`decode_tiled` below run the model over overlapping tiles inside one jitted
+lax.scan (one compile of the tile program) and blend the overlaps with a
+separable linear ramp — the TPU analog of diffusers' enable_vae_tiling. Tiling
+also collapses the mid-block attention from quadratic in the full image to
+quadratic in a tile (262144-token -> 16384-token sequences at 4096^2).
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from editanything_tpu.core import layers as L
 from editanything_tpu.core.kernels import group_norm_silu
@@ -143,12 +151,129 @@ def decode(params, cfg: VAEConfig, z):
     return L.conv2d(dec["conv_out"], h, padding=1)
 
 
-def encode_to_latents(params, cfg: VAEConfig, x, key=None):
-    """Image -> scaled latents (mode if no key), the pipelines' entry."""
-    post = encode(params, cfg, x)
+# ---- tiled encode/decode (the reference's vae-slicing analog) -------------
+
+def _tile_starts(size: int, tile: int, stride: int):
+    """Static start offsets covering [0, size) with full-size tiles; the
+    last tile is clamped to end exactly at `size` (never out of bounds)."""
+    if size <= tile:
+        return [0]
+    starts = list(range(0, size - tile, stride))
+    starts.append(size - tile)
+    return starts
+
+
+def _blend_weight(tile_px: int, ov_px: int):
+    """(tile, tile, 1) separable pyramid: linear ramp over the overlap at
+    every edge, 1 in the interior. Normalizing by the accumulated weight
+    sum makes border tiles exact (single-cover regions divide out)."""
+    r = np.ones((tile_px,), np.float32)
+    if ov_px > 0:
+        ramp = (np.arange(ov_px, dtype=np.float32) + 1.0) / (ov_px + 1.0)
+        r[:ov_px] = ramp
+        r[tile_px - ov_px:] = ramp[::-1]
+    return jnp.asarray(r[:, None] * r[None, :])[..., None]
+
+
+def _scale_factor(cfg: VAEConfig) -> int:
+    return 2 ** (len(cfg.block_out_channels) - 1)
+
+
+def decode_tiled(params, cfg: VAEConfig, z, tile: int = 128,
+                 overlap: int = 32):
+    """Tiled `decode`: (B, h, w, zc) latents -> (B, f*h, f*w, 3) image.
+
+    `tile`/`overlap` are in LATENT pixels. One lax.scan over static tile
+    offsets — decode compiles once for the tile shape; tiles accumulate
+    ramp-weighted into an fp32 canvas that is normalized at the end.
+    Per-tile GroupNorm statistics differ from a one-shot decode (inherent
+    to tiled VAE, same as diffusers'); the overlap blend hides the seams.
+    """
+    b, h, w, c = z.shape
+    if h <= tile and w <= tile:
+        return decode(params, cfg, z)
+    f = _scale_factor(cfg)
+    stride = tile - overlap
+    pos = np.asarray([(y, x) for y in _tile_starts(h, tile, stride)
+                      for x in _tile_starts(w, tile, stride)], np.int32)
+    wt = _blend_weight(tile * f, overlap * f)
+    out_dtype = jax.eval_shape(
+        lambda p, zz: decode(p, cfg, zz), params,
+        jax.ShapeDtypeStruct((b, tile, tile, c), z.dtype)).dtype
+
+    def body(carry, yx):
+        canvas, wsum = carry
+        zt = jax.lax.dynamic_slice(z, (0, yx[0], yx[1], 0),
+                                   (b, tile, tile, c))
+        img = decode(params, cfg, zt).astype(jnp.float32) * wt
+        oy, ox = yx[0] * f, yx[1] * f
+        cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), img.shape)
+        canvas = jax.lax.dynamic_update_slice(canvas, cur + img,
+                                              (0, oy, ox, 0))
+        curw = jax.lax.dynamic_slice(wsum, (oy, ox, 0), wt.shape)
+        wsum = jax.lax.dynamic_update_slice(wsum, curw + wt, (oy, ox, 0))
+        return (canvas, wsum), None
+
+    canvas = jnp.zeros((b, h * f, w * f, cfg.out_channels), jnp.float32)
+    wsum = jnp.zeros((h * f, w * f, 1), jnp.float32)
+    (canvas, wsum), _ = jax.lax.scan(body, (canvas, wsum), jnp.asarray(pos))
+    return (canvas / wsum).astype(out_dtype)
+
+
+def encode_tiled(params, cfg: VAEConfig, x, tile: int = 1024,
+                 overlap: int = 256) -> GaussianPosterior:
+    """Tiled `encode`; `tile`/`overlap` in IMAGE pixels (multiples of the
+    2^levels scale factor). Posterior mean/logvar maps blend in latent
+    space with the same ramp scheme as decode_tiled."""
+    b, h, w, c = x.shape
+    if h <= tile and w <= tile:
+        return encode(params, cfg, x)
+    f = _scale_factor(cfg)
+    if tile % f or overlap % f or h % f or w % f:
+        raise ValueError(f"tile/overlap/image dims must be multiples of {f}")
+    stride = tile - overlap
+    pos = np.asarray([(y, xx) for y in _tile_starts(h, tile, stride)
+                      for xx in _tile_starts(w, tile, stride)], np.int32)
+    wt = _blend_weight(tile // f, overlap // f)
+
+    def acc(canvas, val, oy, ox):
+        cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), val.shape)
+        return jax.lax.dynamic_update_slice(canvas, cur + val,
+                                            (0, oy, ox, 0))
+
+    def body(carry, yx):
+        mean_c, lv_c, wsum = carry
+        xt = jax.lax.dynamic_slice(x, (0, yx[0], yx[1], 0), (b, tile, tile, c))
+        post = encode(params, cfg, xt)
+        oy, ox = yx[0] // f, yx[1] // f
+        mean_c = acc(mean_c, post.mean * wt, oy, ox)
+        lv_c = acc(lv_c, post.logvar * wt, oy, ox)
+        curw = jax.lax.dynamic_slice(wsum, (oy, ox, 0), wt.shape)
+        wsum = jax.lax.dynamic_update_slice(wsum, curw + wt, (oy, ox, 0))
+        return (mean_c, lv_c, wsum), None
+
+    lh, lw = h // f, w // f
+    zeros = jnp.zeros((b, lh, lw, cfg.latent_channels), jnp.float32)
+    wsum = jnp.zeros((lh, lw, 1), jnp.float32)
+    (mean_c, lv_c, wsum), _ = jax.lax.scan(
+        body, (zeros, zeros, wsum), jnp.asarray(pos))
+    return GaussianPosterior(mean_c / wsum, lv_c / wsum)
+
+
+def encode_to_latents(params, cfg: VAEConfig, x, key=None, *,
+                      tile=None, overlap: int = 256):
+    """Image -> scaled latents (mode if no key), the pipelines' entry.
+    tile (image px) switches to the tiled encoder for >2048^2 inputs."""
+    post = (encode(params, cfg, x) if tile is None
+            else encode_tiled(params, cfg, x, tile=tile, overlap=overlap))
     z = post.mode() if key is None else post.sample(key)
     return z * cfg.scaling_factor
 
 
-def decode_from_latents(params, cfg: VAEConfig, z):
-    return decode(params, cfg, z / cfg.scaling_factor)
+def decode_from_latents(params, cfg: VAEConfig, z, *, tile=None,
+                        overlap: int = 32):
+    """tile (latent px) switches to the tiled decoder for >256^2 latents."""
+    z = z / cfg.scaling_factor
+    if tile is None:
+        return decode(params, cfg, z)
+    return decode_tiled(params, cfg, z, tile=tile, overlap=overlap)

@@ -116,6 +116,48 @@ def shard_params_tp(mesh: Mesh, params, *, also_fsdp: bool = False):
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
+def mesh_jit(program, mesh: Mesh):
+    """jit a DP inference program through shard_map over the `data` axis.
+
+    Plain `jit` + GSPMD is NOT enough here: the Pallas kernels
+    (group_norm_silu, flash attention) carry no partitioning rule, so
+    GSPMD wraps every call in an all-gather of the sharded activations +
+    redundant full-batch compute + re-slice (observed in the compiled
+    HLO). shard_map hands each device its batch shard with per-shard
+    SHAPES, so the kernels and everything else compile exactly as the
+    single-chip program — zero collectives
+    (test_sharded_inference.py::test_dp_denoise_compiles_zero_collectives).
+
+    in_specs come from each argument's ACTUAL placement (NamedSharding
+    committed by shard_batch/replicate) — no shape-based guessing, which
+    would misclassify e.g. a (2,)-PRNG-key leaf at batch 2. Host numpy /
+    scalar leaves replicate.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def spec_of(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return sh.spec
+        return P()
+
+    cache = {}
+
+    def runner(*args):
+        specs = tuple(jax.tree.map(spec_of, a) for a in args)
+        # PartitionSpec subclasses tuple (a pytree container), so key on
+        # the repr of the spec trees + arg treedefs instead of leaves
+        key = (tuple(jax.tree.structure(a) for a in args), str(specs))
+        if key not in cache:
+            cache[key] = jax.jit(shard_map(
+                program, mesh=mesh, in_specs=specs,
+                out_specs=P("data"), check_rep=False))
+        return cache[key](*args)
+
+    runner.cache = cache          # exposed for HLO inspection in tests
+    return runner
+
+
 def shard_params_fsdp(mesh: Mesh, params):
     """FSDP-style parameter layout: big tensors split along `data`.
 

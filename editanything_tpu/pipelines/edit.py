@@ -62,8 +62,6 @@ class EditPipeline(GenerationPipeline):
         self.controls = tuple(controls)
         self.inpaint_mode = inpaint_mode
         self.cache = ProgramCache()
-        self._encode = jax.jit(
-            lambda p, x: V.encode_to_latents(p, bundle.vae_cfg, x))
 
     # -- host-side input prep ------------------------------------------------
 
@@ -158,7 +156,9 @@ class EditPipeline(GenerationPipeline):
             encoder_interval=encoder_interval if ref_cfg is None else 1)
         program = self.cache.get(b, dcfg, num_steps,
                                  with_scale_maps=scale_map is not None,
-                                 decode=not return_latents)
+                                 decode=not return_latents,
+                                 decode_tile=self._decode_tile_spec(h, w),
+                                 mesh=self.mesh)
 
         context = self.embed_prompts(prompt, negative_prompt, num_samples)
 
@@ -307,7 +307,9 @@ class EditPipeline(GenerationPipeline):
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs((tile_control,)),
             num_steps=num_steps, sampler=sampler, inpaint_mode="blend",
             alignment_ratio=alignment_ratio)
-        program = self.cache.get(b, dcfg, num_steps, with_scale_maps=False)
+        program = self.cache.get(b, dcfg, num_steps, with_scale_maps=False,
+                                 decode_tile=self._decode_tile_spec(h, w),
+                                 mesh=self.mesh)
 
         context = self.embed_prompts(prompt, negative_prompt, s)
         imgs01 = imgs.astype(np.float32) / 255.0

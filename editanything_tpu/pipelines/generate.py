@@ -41,27 +41,40 @@ class ProgramCache:
         self._programs: Dict = {}
 
     def get(self, bundle: ModelBundle, dcfg: DenoiseConfig, steps_key,
-            *, with_scale_maps: bool, decode: bool = True):
-        key = (dcfg, steps_key, with_scale_maps, decode, bundle.dtype)
+            *, with_scale_maps: bool, decode: bool = True,
+            decode_tile: Optional[Tuple[int, int]] = None, mesh=None):
+        """decode_tile: (tile, overlap) in LATENT px — tiled VAE decode for
+        resolutions whose one-shot decode exceeds HBM (>2048^2).
+        mesh: DP mesh — programs compile through parallel.mesh_jit
+        (shard_map over `data`) so the Pallas kernels see per-shard shapes
+        and GSPMD inserts no activation all-gathers around them."""
+        key = (dcfg, steps_key, with_scale_maps, decode, decode_tile,
+               bundle.dtype, mesh is not None)
         if key not in self._programs:
             schedule = make_schedule()
             ts = make_timesteps(dcfg.num_steps,
                                 spacing=dcfg.timestep_spacing)
             denoise = build_denoiser(dcfg, schedule, ts)
             vcfg = bundle.vae_cfg
+            dt, dov = decode_tile if decode_tile else (None, 32)
 
             def program(params, latents, context, inputs):
                 final = denoise(params, latents, context, inputs)
                 if not decode:
                     return final
                 return V.decode_from_latents(
-                    params["vae"], vcfg, final.astype(latents.dtype))
+                    params["vae"], vcfg, final.astype(latents.dtype),
+                    tile=dt, overlap=dov)
 
             # no donation: the initial latents are bf16 but the sampler
             # carry is fp32, so the buffer is never reusable — donating
             # only produced XLA "donated buffers were not usable" warnings
             # for a 32 KB tensor.
-            self._programs[key] = jax.jit(program)
+            if mesh is not None:
+                from editanything_tpu.parallel.sharding import mesh_jit
+                self._programs[key] = mesh_jit(program, mesh)
+            else:
+                self._programs[key] = jax.jit(program)
         return self._programs[key]
 
 
@@ -74,12 +87,25 @@ class GenerationPipeline:
     inserts no collectives on this embarrassingly-parallel path.
     """
 
+    # one-shot VAE validated on chip up to 2048^2 (PARITY.md bucket table);
+    # above this the pipelines switch to tiled encode/decode. Patchable per
+    # instance (tests lower it to exercise the tiled path at tiny shapes).
+    vae_oneshot_max_px = 2048
+    vae_tile_latent = 128        # latent-px decode tile -> 1024^2 image tiles
+    vae_tile_overlap = 32
+
     def __init__(self, bundle: ModelBundle, controlnet: str = "sam",
                  mesh=None):
         self.bundle = bundle
         self.controlnet = controlnet
         self.mesh = mesh
         self.cache = ProgramCache()
+        self._encode_oneshot = jax.jit(
+            lambda p, x: V.encode_to_latents(p, bundle.vae_cfg, x))
+        f = 2 ** (len(bundle.vae_cfg.block_out_channels) - 1)
+        self._encode_tiled = jax.jit(lambda p, x: V.encode_to_latents(
+            p, bundle.vae_cfg, x, tile=self.vae_tile_latent * f,
+            overlap=self.vae_tile_overlap * f))
         # per-image NSFW flags from the optional safety checker for the
         # most recent call (None = no checker loaded); diffusers returns
         # (images, has_nsfw_concepts) — our array-out API surfaces the
@@ -92,6 +118,19 @@ class GenerationPipeline:
             return tree
         from editanything_tpu.parallel import shard_batch
         return shard_batch(self.mesh, tree)
+
+    def _decode_tile_spec(self, h: int, w: int):
+        """(tile, overlap) in latent px for the program's VAE decode, or
+        None when the one-shot decode fits (<= vae_oneshot_max_px)."""
+        if max(h, w) <= self.vae_oneshot_max_px:
+            return None
+        return (self.vae_tile_latent, self.vae_tile_overlap)
+
+    def _encode(self, vae_params, x):
+        """VAE encode -> scaled latents; tiled above the one-shot bound."""
+        if max(x.shape[1], x.shape[2]) <= self.vae_oneshot_max_px:
+            return self._encode_oneshot(vae_params, x)
+        return self._encode_tiled(vae_params, x)
 
     def prepare_condition(self, condition_map: np.ndarray,
                           h: int, w: int, batch: int) -> jnp.ndarray:
@@ -138,7 +177,9 @@ class GenerationPipeline:
             num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
             encoder_interval=encoder_interval)
         program = self.cache.get(b, dcfg, num_steps,
-                                 with_scale_maps=scale_map is not None)
+                                 with_scale_maps=scale_map is not None,
+                                 decode_tile=self._decode_tile_spec(h, w),
+                                 mesh=self.mesh)
 
         context = self.embed_prompts(prompt, negative_prompt, num_samples)
         cond = self.prepare_condition(condition_image, h, w, num_samples)

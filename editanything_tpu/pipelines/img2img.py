@@ -58,17 +58,25 @@ class Img2ImgPipeline(GenerationPipeline):
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs(controls),
             num_steps=n_run, sampler=sampler)
         schedule = make_schedule()
-        key = (dcfg, ("img2img", n_run, strength), False, True, b.dtype)
+        dtile = self._decode_tile_spec(h, w)
+        key = (dcfg, ("img2img", n_run, strength), False, True, dtile,
+               b.dtype, self.mesh is not None)
         if key not in self.cache._programs:
             denoise = build_denoiser(dcfg, schedule, ts)
             vcfg = b.vae_cfg
+            dt, dov = dtile if dtile else (None, 32)
 
             def program(params, latents, context, inputs):
                 final = denoise(params, latents, context, inputs)
                 return V.decode_from_latents(params["vae"], vcfg,
-                                             final.astype(latents.dtype))
-            self.cache._programs[key] = jax.jit(program,
-                                                donate_argnums=(1,))
+                                             final.astype(latents.dtype),
+                                             tile=dt, overlap=dov)
+            if self.mesh is not None:
+                from editanything_tpu.parallel.sharding import mesh_jit
+                self.cache._programs[key] = mesh_jit(program, self.mesh)
+            else:
+                self.cache._programs[key] = jax.jit(program,
+                                                    donate_argnums=(1,))
         program = self.cache._programs[key]
 
         context = self.embed_prompts(prompt, negative_prompt, num_samples)
@@ -97,8 +105,4 @@ class Img2ImgPipeline(GenerationPipeline):
         return imgs
 
     def _encode_latents(self, x):
-        b = self.bundle
-        if not hasattr(self, "_enc_jit"):
-            self._enc_jit = jax.jit(
-                lambda p, xx: V.encode_to_latents(p, b.vae_cfg, xx))
-        return self._enc_jit(b.vae, x)
+        return self._encode(self.bundle.vae, x)

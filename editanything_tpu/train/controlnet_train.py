@@ -70,8 +70,12 @@ def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
     up to batch 4 x 64x64 latents (batch 8 still exceeds 16 GB HBM
     because every conv output is saved). "full" saves nothing across the
     backbone boundary — one extra forward of FLOPs, smallest footprint —
-    for the largest per-chip batches. False keeps the plain fwd
-    activation set (fine for tiny/test configs and sharded meshes)."""
+    for the largest per-chip batches. "offload" saves no-batch-dim dot
+    outputs to pinned HOST memory instead of HBM (weight-gradient
+    contractions stream back during the backward over PCIe/ICI) — trades
+    transfer bandwidth for the residency that OOMs batch 8. False keeps
+    the plain fwd activation set (fine for tiny/test configs and sharded
+    meshes)."""
     pred_type = prediction_type or schedule.prediction_type
     ucfg = cn_cfg.unet
 
@@ -82,6 +86,11 @@ def make_train_step(cn_cfg, schedule: sched.NoiseSchedule, optimizer,
 
     if remat == "full":
         backbone = jax.checkpoint(backbone)
+    elif remat == "offload":
+        backbone = jax.checkpoint(
+            backbone,
+            policy=jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                "device", "pinned_host"))
     elif remat:
         backbone = jax.checkpoint(
             backbone, policy=jax.checkpoint_policies.dots_saveable)

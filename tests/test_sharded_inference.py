@@ -38,6 +38,45 @@ class TestShardedInference:
         assert diff.max() <= 1
         assert (diff > 0).mean() < 1e-3
 
+    def test_dp_denoise_compiles_zero_collectives(self):
+        """The evidence behind PROFILE.md's v5e-8 projection: the DP edit
+        program has NO cross-sample terms, and parallel.mesh_jit
+        (shard_map over `data`) compiles it with ZERO collectives — each
+        chip runs exactly the single-chip program at batch/N, so N-chip
+        throughput is N x the per-chip batch curve point. (Plain
+        jit+GSPMD fails this: the Pallas group-norm/attention calls have
+        no partitioning rule, so GSPMD all-gathers their sharded operands
+        and computes the full batch redundantly on every device.)"""
+        from editanything_tpu.engine import DenoiseConfig
+        from editanything_tpu.parallel.sharding import replicate, shard_batch
+        from editanything_tpu.pipelines.generate import ProgramCache
+
+        bundle = random_bundle(jax.random.PRNGKey(3), tiny=True,
+                               controlnet_names=("sam",))
+        mesh = make_mesh(n_data=8, n_model=1)
+        dcfg = DenoiseConfig(unet=bundle.unet_cfg,
+                             controlnets=bundle.controlnet_cfgs(("sam",)),
+                             num_steps=2, sampler="unipc")
+        program = ProgramCache().get(bundle, dcfg, 2, with_scale_maps=False,
+                                     decode=False, mesh=mesh)
+        params = replicate(mesh, {
+            "unet": bundle.unet,
+            "controlnets": bundle.controlnet_params(("sam",))})
+        d = bundle.unet_cfg.cross_attention_dim
+        ctx = shard_batch(mesh, {
+            "cond": jnp.zeros((8, 77, d)), "uncond": jnp.zeros((8, 77, d))})
+        lat = shard_batch(mesh, jnp.zeros((8, 8, 8, 4)))
+        inputs = {"controlnet_conds": [shard_batch(
+            mesh, jnp.zeros((8, 64, 64, 3)))],
+            "controlnet_scales": [1.0], "guidance_scale": 7.5}
+        out = program(params, lat, ctx, inputs)
+        assert out.shape == (8, 8, 8, 4)
+        (jitted,) = program.cache.values()
+        hlo = jitted.lower(params, lat, ctx, inputs).compile().as_text()
+        for op in ("all-reduce", "all-gather", "collective-permute",
+                   "all-to-all", "reduce-scatter"):
+            assert op not in hlo, f"unexpected collective {op} in DP program"
+
     def test_batch_shards_over_data_axis(self):
         bundle = random_bundle(jax.random.PRNGKey(1), tiny=True,
                                controlnet_names=("sam",))
