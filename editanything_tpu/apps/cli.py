@@ -295,6 +295,48 @@ def cmd_caption_data(args):
     print(f"wrote {len(names)} lines to {args.output}")
 
 
+def cmd_add_control(args):
+    """SD .ckpt/.safetensors -> cldm checkpoint with grafted control branch
+    (tools/tool_add_control_sd{15,21}.py:27-50)."""
+    import torch
+    from editanything_tpu.checkpoints import add_control, \
+        load_torch_state_dict
+    if os.path.exists(args.output):
+        raise SystemExit(f"output {args.output} already exists")
+    sd = load_torch_state_dict(args.input)
+    out = add_control(sd, seed=args.seed, hint_channels=args.hint_channels)
+    n_ctrl = sum(k.startswith("control_model.") for k in out)
+    torch.save({"state_dict": {k: torch.tensor(np.asarray(v))
+                               for k, v in out.items()}}, args.output)
+    print(f"wrote {args.output}: {n_ctrl} control_model keys grafted")
+
+
+def cmd_transfer_control(args):
+    """Offset-transfer a trained control to another base
+    (tool_transfer_control.py:35-58)."""
+    import torch
+    from editanything_tpu.checkpoints import load_torch_state_dict, \
+        transfer_control
+    out = transfer_control(load_torch_state_dict(args.base),
+                           load_torch_state_dict(args.base_with_control),
+                           load_torch_state_dict(args.new_base))
+    torch.save({"state_dict": {k: torch.tensor(np.asarray(v))
+                               for k, v in out.items()}}, args.output)
+    print(f"wrote {args.output}: {len(out)} keys")
+
+
+def cmd_convert_to_diffusers(args):
+    """Trained cldm checkpoint -> diffusers-layout ControlNet safetensors
+    (tools/convert_controlnet_to_diffusers.py:80-91)."""
+    from safetensors.numpy import save_file
+    from editanything_tpu.checkpoints import cldm_controlnet_to_diffusers_sd
+    sd = cldm_controlnet_to_diffusers_sd(args.input,
+                                         extract_ema=args.extract_ema)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              args.output)
+    print(f"wrote {args.output}: {len(sd)} tensors")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("editanything-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -357,6 +399,26 @@ def main(argv=None):
     common(c)
     c.add_argument("--data-path", required=True)
     c.set_defaults(fn=cmd_caption_data)
+
+    ac = sub.add_parser("add-control")
+    ac.add_argument("--input", required=True)
+    ac.add_argument("--output", required=True)
+    ac.add_argument("--seed", type=int, default=0)
+    ac.add_argument("--hint-channels", type=int, default=3)
+    ac.set_defaults(fn=cmd_add_control)
+
+    tc = sub.add_parser("transfer-control")
+    tc.add_argument("--base", required=True)
+    tc.add_argument("--base-with-control", required=True)
+    tc.add_argument("--new-base", required=True)
+    tc.add_argument("--output", required=True)
+    tc.set_defaults(fn=cmd_transfer_control)
+
+    cd = sub.add_parser("convert-to-diffusers")
+    cd.add_argument("--input", required=True)
+    cd.add_argument("--output", required=True)
+    cd.add_argument("--extract-ema", action="store_true")
+    cd.set_defaults(fn=cmd_convert_to_diffusers)
 
     # training programs: delegate to their own argparse mains (the
     # reference's sam_train_sd21.py / tools/train_dreambooth_inpaint.py /

@@ -163,16 +163,36 @@ def _tile_starts(size: int, tile: int, stride: int):
     return starts
 
 
-def _blend_weight(tile_px: int, ov_px: int):
-    """(tile, tile, 1) separable pyramid: linear ramp over the overlap at
-    every edge, 1 in the interior. Normalizing by the accumulated weight
-    sum makes border tiles exact (single-cover regions divide out)."""
+def _ramp(tile_px: int, ov_px: int) -> np.ndarray:
+    """1-D blend profile: linear ramp over the overlap at both ends, 1 in
+    the interior. Normalizing by the accumulated weight sum makes border
+    tiles exact (single-cover regions divide out)."""
     r = np.ones((tile_px,), np.float32)
     if ov_px > 0:
         ramp = (np.arange(ov_px, dtype=np.float32) + 1.0) / (ov_px + 1.0)
         r[:ov_px] = ramp
         r[tile_px - ov_px:] = ramp[::-1]
-    return jnp.asarray(r[:, None] * r[None, :])[..., None]
+    return r
+
+
+def _blend_weight(th_px: int, tw_px: int, ov_h_px: int, ov_w_px: int):
+    """(th, tw, 1) separable pyramid built per-dimension so non-square
+    tiles (wide/tall panoramas where one dim fits one-shot) blend
+    correctly."""
+    return jnp.asarray(_ramp(th_px, ov_h_px)[:, None]
+                       * _ramp(tw_px, ov_w_px)[None, :])[..., None]
+
+
+def _tile_plan(h: int, w: int, tile: int, overlap: int):
+    """Per-dimension tile sizes/overlaps/starts. A dimension that fits the
+    tile is covered by ONE clamped tile with no ramp (the other dim may
+    still be tiled — the non-square panorama case)."""
+    th, tw = min(tile, h), min(tile, w)
+    ov_h = overlap if h > th else 0
+    ov_w = overlap if w > tw else 0
+    pos = np.asarray([(y, x) for y in _tile_starts(h, th, th - ov_h)
+                      for x in _tile_starts(w, tw, tw - ov_w)], np.int32)
+    return th, tw, ov_h, ov_w, pos
 
 
 def _scale_factor(cfg: VAEConfig) -> int:
@@ -193,18 +213,16 @@ def decode_tiled(params, cfg: VAEConfig, z, tile: int = 128,
     if h <= tile and w <= tile:
         return decode(params, cfg, z)
     f = _scale_factor(cfg)
-    stride = tile - overlap
-    pos = np.asarray([(y, x) for y in _tile_starts(h, tile, stride)
-                      for x in _tile_starts(w, tile, stride)], np.int32)
-    wt = _blend_weight(tile * f, overlap * f)
+    th, tw, ov_h, ov_w, pos = _tile_plan(h, w, tile, overlap)
+    wt = _blend_weight(th * f, tw * f, ov_h * f, ov_w * f)
     out_dtype = jax.eval_shape(
         lambda p, zz: decode(p, cfg, zz), params,
-        jax.ShapeDtypeStruct((b, tile, tile, c), z.dtype)).dtype
+        jax.ShapeDtypeStruct((b, th, tw, c), z.dtype)).dtype
 
     def body(carry, yx):
         canvas, wsum = carry
         zt = jax.lax.dynamic_slice(z, (0, yx[0], yx[1], 0),
-                                   (b, tile, tile, c))
+                                   (b, th, tw, c))
         img = decode(params, cfg, zt).astype(jnp.float32) * wt
         oy, ox = yx[0] * f, yx[1] * f
         cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), img.shape)
@@ -231,10 +249,8 @@ def encode_tiled(params, cfg: VAEConfig, x, tile: int = 1024,
     f = _scale_factor(cfg)
     if tile % f or overlap % f or h % f or w % f:
         raise ValueError(f"tile/overlap/image dims must be multiples of {f}")
-    stride = tile - overlap
-    pos = np.asarray([(y, xx) for y in _tile_starts(h, tile, stride)
-                      for xx in _tile_starts(w, tile, stride)], np.int32)
-    wt = _blend_weight(tile // f, overlap // f)
+    th, tw, ov_h, ov_w, pos = _tile_plan(h, w, tile, overlap)
+    wt = _blend_weight(th // f, tw // f, ov_h // f, ov_w // f)
 
     def acc(canvas, val, oy, ox):
         cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), val.shape)
@@ -243,7 +259,7 @@ def encode_tiled(params, cfg: VAEConfig, x, tile: int = 1024,
 
     def body(carry, yx):
         mean_c, lv_c, wsum = carry
-        xt = jax.lax.dynamic_slice(x, (0, yx[0], yx[1], 0), (b, tile, tile, c))
+        xt = jax.lax.dynamic_slice(x, (0, yx[0], yx[1], 0), (b, th, tw, c))
         post = encode(params, cfg, xt)
         oy, ox = yx[0] // f, yx[1] // f
         mean_c = acc(mean_c, post.mean * wt, oy, ox)

@@ -43,6 +43,17 @@ class ModelBundle:
     # optional models.safety.SafetyChecker; None matches the reference's own
     # operating point (safety_checker=None at editany_lora.py:369-411)
     safety: Any = None
+    # noise schedule (samplers.NoiseSchedule); None -> the SD1.5 default
+    # (eps, scaled_linear 0.00085-0.012). SD2.1 bundles carry a
+    # v-prediction schedule (models/cldm_v21.yaml parameterization: v) and
+    # every pipeline derives its sampler math + prediction type from here.
+    schedule: Any = None
+
+    def noise_schedule(self):
+        if self.schedule is None:
+            from editanything_tpu.samplers import make_schedule
+            self.schedule = make_schedule()
+        return self.schedule
 
     def run_safety(self, images_uint8):
         """uint8 images -> (possibly blacked-out images, nsfw flags);

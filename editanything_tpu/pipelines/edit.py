@@ -152,6 +152,7 @@ class EditPipeline(GenerationPipeline):
             eta=float(eta) if sampler == "ddim" else 0.0,
             inpaint_mode=self.inpaint_mode,
             alignment_ratio=alignment_ratio, alpha_weight=alpha_weight,
+            prediction_type=b.noise_schedule().prediction_type,
             ref=ref_cfg,
             encoder_interval=encoder_interval if ref_cfg is None else 1)
         program = self.cache.get(b, dcfg, num_steps,
@@ -254,7 +255,7 @@ class EditPipeline(GenerationPipeline):
         if self.inpaint_mode == "mix":
             t0 = int(make_timesteps(num_steps)[0])
             renoised = sched.add_noise(
-                make_schedule(), image_latents,
+                b.noise_schedule(), image_latents,
                 jax.random.normal(k_mix, image_latents.shape, jnp.float32),
                 jnp.asarray(t0))
             keep = 1.0 - mask_latents
@@ -267,7 +268,7 @@ class EditPipeline(GenerationPipeline):
         latents = self._shard(latents)
         context = self._shard(context)
         inputs = jax.tree.map(
-            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
+            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 1
             and x.shape[0] == num_samples else x, inputs)
         out = program(params, latents, context, inputs)
         if return_latents:
@@ -306,6 +307,7 @@ class EditPipeline(GenerationPipeline):
         dcfg = DenoiseConfig(
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs((tile_control,)),
             num_steps=num_steps, sampler=sampler, inpaint_mode="blend",
+            prediction_type=b.noise_schedule().prediction_type,
             alignment_ratio=alignment_ratio)
         program = self.cache.get(b, dcfg, num_steps, with_scale_maps=False,
                                  decode_tile=self._decode_tile_spec(h, w),
@@ -340,7 +342,7 @@ class EditPipeline(GenerationPipeline):
         lat_in = self._shard(latents.astype(b.dtype))
         context = self._shard(context)
         inputs = jax.tree.map(
-            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
+            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 1
             and x.shape[0] == s else x, inputs)
         out = program(params, lat_in, context, inputs)
         out, self.last_nsfw = self.bundle.run_safety(

@@ -51,7 +51,9 @@ class ProgramCache:
         key = (dcfg, steps_key, with_scale_maps, decode, decode_tile,
                bundle.dtype, mesh is not None)
         if key not in self._programs:
-            schedule = make_schedule()
+            # per-bundle schedule (v-pred for SD2.1); the cache lives on
+            # the pipeline instance, so one cache sees one schedule
+            schedule = bundle.noise_schedule()
             ts = make_timesteps(dcfg.num_steps,
                                 spacing=dcfg.timestep_spacing)
             denoise = build_denoiser(dcfg, schedule, ts)
@@ -102,10 +104,10 @@ class GenerationPipeline:
         self.cache = ProgramCache()
         self._encode_oneshot = jax.jit(
             lambda p, x: V.encode_to_latents(p, bundle.vae_cfg, x))
-        f = 2 ** (len(bundle.vae_cfg.block_out_channels) - 1)
-        self._encode_tiled = jax.jit(lambda p, x: V.encode_to_latents(
-            p, bundle.vae_cfg, x, tile=self.vae_tile_latent * f,
-            overlap=self.vae_tile_overlap * f))
+        # tiled encoders cached per (tile, overlap) value so changing the
+        # instance attrs after a first compile never reuses a stale tile
+        # size (jit caches by shape only)
+        self._encode_tiled_cache: Dict = {}
         # per-image NSFW flags from the optional safety checker for the
         # most recent call (None = no checker loaded); diffusers returns
         # (images, has_nsfw_concepts) — our array-out API surfaces the
@@ -125,6 +127,18 @@ class GenerationPipeline:
         if max(h, w) <= self.vae_oneshot_max_px:
             return None
         return (self.vae_tile_latent, self.vae_tile_overlap)
+
+    def _encode_tiled(self, vae_params, x):
+        key = (self.vae_tile_latent, self.vae_tile_overlap)
+        fn = self._encode_tiled_cache.get(key)
+        if fn is None:
+            vcfg = self.bundle.vae_cfg
+            f = 2 ** (len(vcfg.block_out_channels) - 1)
+            tile_px, ov_px = key[0] * f, key[1] * f
+            fn = jax.jit(lambda p, xx: V.encode_to_latents(
+                p, vcfg, xx, tile=tile_px, overlap=ov_px))
+            self._encode_tiled_cache[key] = fn
+        return fn(vae_params, x)
 
     def _encode(self, vae_params, x):
         """VAE encode -> scaled latents; tiled above the one-shot bound."""
@@ -175,6 +189,7 @@ class GenerationPipeline:
             unet=b.unet_cfg,
             controlnets=b.controlnet_cfgs((self.controlnet,)),
             num_steps=num_steps, sampler=sampler, guess_mode=guess_mode,
+            prediction_type=b.noise_schedule().prediction_type,
             encoder_interval=encoder_interval)
         program = self.cache.get(b, dcfg, num_steps,
                                  with_scale_maps=scale_map is not None,
@@ -206,7 +221,7 @@ class GenerationPipeline:
         latents = self._shard(latents)
         context = self._shard(context)
         inputs = jax.tree.map(
-            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 0
+            lambda x: self._shard(x) if hasattr(x, "ndim") and x.ndim > 1
             and x.shape[0] == num_samples else x, inputs)
         img = program(params, latents, context, inputs)
         out, self.last_nsfw = self.bundle.run_safety(

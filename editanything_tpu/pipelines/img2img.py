@@ -54,10 +54,11 @@ class Img2ImgPipeline(GenerationPipeline):
         ts = full_ts[num_steps - n_run:]
 
         controls = (self.controlnet,) if condition_image is not None else ()
+        schedule = b.noise_schedule()
         dcfg = DenoiseConfig(
             unet=b.unet_cfg, controlnets=b.controlnet_cfgs(controls),
-            num_steps=n_run, sampler=sampler)
-        schedule = make_schedule()
+            num_steps=n_run, sampler=sampler,
+            prediction_type=schedule.prediction_type)
         dtile = self._decode_tile_spec(h, w)
         key = (dcfg, ("img2img", n_run, strength), False, True, dtile,
                b.dtype, self.mesh is not None)

@@ -48,9 +48,13 @@ def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.0):
 
 def init_train_state(cn_params, optimizer, *,
                      use_ema: bool = False) -> TrainState:
-    return TrainState(cn_params, optimizer.init(cn_params),
+    # own copies: train steps DONATE the state, and the caller's bundle
+    # must keep its ControlNet buffers alive (e.g. a resume re-init after
+    # a prior run already consumed them)
+    params = jax.tree.map(jnp.copy, cn_params)
+    return TrainState(params, optimizer.init(params),
                       jnp.asarray(0, jnp.int32),
-                      jax.tree.map(jnp.copy, cn_params) if use_ema
+                      jax.tree.map(jnp.copy, params) if use_ema
                       else None)
 
 

@@ -366,8 +366,12 @@ def test_train_step_remat_matches_plain():
         state = init_train_state(cn_p, opt)
         try:
             s1, metrics = step(state, unet_p, batch, jax.random.PRNGKey(1))
-        except Exception:
-            if remat == "offload":
+        except Exception as e:
+            # only the specific unsupported-memory-space error may skip the
+            # offload leg; real offload-policy regressions must still fail
+            if remat == "offload" and (
+                    "pinned_host" in str(e) or "memory kind" in str(e)
+                    or "Memory space" in str(e) or "memory space" in str(e)):
                 continue  # backend without pinned_host memory space
             raise
         outs[remat] = (float(metrics["loss"]), s1.cn_params)

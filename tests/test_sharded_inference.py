@@ -104,3 +104,30 @@ class TestShardedEdit:
                    image_resolution=64, num_steps=2, alignment_ratio=0.5,
                    seed=0)
         assert out.shape == (8, 64, 64, 3)
+
+    def test_mix_mode_two_samples_on_mesh(self):
+        """Regression (round-5 advisor): the batch-shard guess must NOT
+        shard the (2,) PRNG noise_key/eta_key over the data axis when
+        num_samples == 2 — mesh_jit derives in_specs from placement, so a
+        sharded key fails wrap_key_data at trace time."""
+        from editanything_tpu.pipelines import EditPipeline, random_bundle
+        from editanything_tpu.pipelines.bundle import place_on_mesh
+        bundle = random_bundle(jax.random.PRNGKey(2), tiny=True,
+                               controlnet_names=("sam", "inpaint"))
+        mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+        pipe = EditPipeline(place_on_mesh(bundle, mesh),
+                            controls=("sam", "inpaint"),
+                            inpaint_mode="mix", mesh=mesh)
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        out = pipe(image=img, mask=np.full((64, 64), 255, np.uint8),
+                   prompt="cat", condition_image=_cond(), num_samples=2,
+                   image_resolution=64, num_steps=2, seed=0,
+                   alpha_weight=0.3)
+        assert out.shape == (2, 64, 64, 3)
+        # eta>0 exercises the eta_key leg of the same guess
+        out2 = pipe(image=img, mask=np.full((64, 64), 255, np.uint8),
+                    prompt="cat", condition_image=_cond(), num_samples=2,
+                    image_resolution=64, num_steps=2, seed=0,
+                    sampler="ddim", eta=0.5)
+        assert out2.shape == (2, 64, 64, 3)

@@ -46,15 +46,26 @@ class TestTrainLoop:
                       txt_path=str(data_dir / "data.txt"),
                       out_dir=out, bundle=bundle, batch_size=2,
                       max_steps=3, resolution=64, log_every=1,
-                      image_every=2, ckpt_every=2)
+                      image_every=2, ckpt_every=2, sample_steps=2)
         assert int(state.step) == 3
         # metrics stream written
         recs = [json.loads(l) for l in
                 open(os.path.join(out, "metrics.jsonl"))]
         assert len(recs) >= 3 and "loss" in recs[0]
-        # image grids dumped
-        assert any(f.endswith(".png")
-                   for f in os.listdir(os.path.join(out, "images")))
+        # in-training SAMPLING grids dumped (cldm/logger.py:27-76 parity):
+        # input/hint/reconstruction/samples + EMA samples
+        files = os.listdir(os.path.join(out, "images"))
+        for name in ("input", "hint", "reconstruction", "samples",
+                     "samples_ema"):
+            assert any(f.startswith(name + "_") for f in files), \
+                (name, files)
+        # EMA shadow exists, diverged from the live params (LitEma ramp),
+        # and is checkpointed
+        assert state.ema_params is not None
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree.leaves(state.ema_params),
+                                 jax.tree.leaves(state.cn_params))]
+        assert max(diffs) > 0
         # resume picks up the saved step
         state2 = train(data_path=str(data_dir),
                        txt_path=str(data_dir / "data.txt"),

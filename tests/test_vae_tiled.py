@@ -40,10 +40,45 @@ def test_tile_starts_cover_and_clamp():
 
 
 def test_blend_weight_interior_one_edges_ramp():
-    w = np.asarray(V._blend_weight(16, 4))[..., 0]
+    w = np.asarray(V._blend_weight(16, 16, 4, 4))[..., 0]
     assert np.allclose(w[8, 8], 1.0)
     assert w[0, 8] < w[1, 8] < w[3, 8] < 1.0
     assert np.allclose(w, w[::-1, ::-1])  # symmetric
+
+
+def test_blend_weight_per_dim():
+    # one dim untiled (no ramp), the other tiled: ramp only along w
+    w = np.asarray(V._blend_weight(8, 16, 0, 4))[..., 0]
+    assert np.allclose(w[:, 8], 1.0)
+    assert w[3, 0] < w[3, 3] < 1.0
+
+
+def test_decode_tiled_panorama_non_square(vae_params):
+    """Wide input where h < tile <= w (the advisor's 512x2560 repro shape,
+    scaled down): per-dim tile clamping must make this trace and run."""
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 40, 4)) * 0.1
+    full = np.asarray(V.decode(vae_params, CFG, z), np.float32)
+    tiled = np.asarray(
+        V.decode_tiled(vae_params, CFG, z, tile=16, overlap=8), np.float32)
+    assert tiled.shape == full.shape == (1, 64, 320, 3)
+    assert np.isfinite(tiled).all()
+    assert np.abs(tiled - full).mean() < 0.05 * np.abs(full).max()
+    # tall variant (w < tile <= h)
+    zt = jnp.swapaxes(z, 1, 2)
+    tall = np.asarray(
+        V.decode_tiled(vae_params, CFG, zt, tile=16, overlap=8), np.float32)
+    assert tall.shape == (1, 320, 64, 3) and np.isfinite(tall).all()
+
+
+def test_encode_tiled_panorama_non_square(vae_params):
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 320, 3)) * 0.2
+    pf = V.encode(vae_params, CFG, x)
+    pt = V.encode_tiled(vae_params, CFG, x, tile=128, overlap=64)
+    assert pt.mean.shape == pf.mean.shape == (1, 8, 40, 4)
+    assert np.isfinite(np.asarray(pt.mean)).all()
+    scale = np.abs(np.asarray(pf.mean)).max()
+    assert np.abs(np.asarray(pt.mean) - np.asarray(pf.mean)).mean() \
+        < 0.1 * scale
 
 
 def test_decode_tiled_single_tile_exact(vae_params):
