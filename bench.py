@@ -10,8 +10,13 @@ edit on a v5e-8". Measured here on ONE chip:
      SD1.5 UNet + CFG + UniPC + inpaint mask blending) as ONE lax.scan,
      plus the VAE decode — bf16, batch 1 edit (CFG pair = batch 2)
 
+It ALSO measures the reference UI's default operating point — 2 samples,
+30 steps (editany_demo.py:89-91,234-260) — and reports it, plus the
+implied edits/s/chip, as extra keys on the same line.
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "ui_default_2x30_s": N, "ui_default_edits_per_s_chip": N}
 vs_baseline = 5 s target / measured latency (>1 = faster than target),
 on one chip of the 8 the target allows.
 """
@@ -80,53 +85,65 @@ def main():
                              out_hw=(512, 512)).astype(dtype) / 255.0
         return jnp.broadcast_to(cond[None], (1, 512, 512, 3))
 
-    # --- edit core
-    dcfg = DenoiseConfig(unet=ucfg, controlnets=(cn_cfg, cn_cfg),
-                         num_steps=steps, sampler="unipc",
-                         inpaint_mode="blend", alignment_ratio=None)
-    denoise = build_denoiser(dcfg, schedule, ts)
-
-    def edit(params, latents, context, inputs):
-        final = denoise(params, latents, context, inputs)
-        return V.decode_from_latents(params["vae"], vcfg,
-                                     final.astype(dtype))
-
-    # (no donation: initial latents are bf16, the sampler carry is fp32 —
-    # the buffer is never reusable and donating only triggered warnings)
-    edit_jit = jax.jit(edit)
-
-    b = 1
+    # --- edit cores: the north-star point (b1, 50 steps) and the
+    # reference UI's default point (2 samples, 30 steps)
     params = {"unet": unet_params, "controlnets": [cn_sam, cn_inp],
               "vae": vae_params}
-    context = {"cond": jax.random.normal(ks[4], (b, 77, 768), dtype),
-               "uncond": jax.random.normal(ks[5], (b, 77, 768), dtype)}
-    mask = jnp.zeros((b, 64, 64, 1), dtype).at[:, 16:48, 16:48].set(1.0)
-    inpaint_cond = jax.random.uniform(ks[7], (b, 512, 512, 3), dtype)
 
-    def run_once():
-        # SAM mask generation -> ID condition map (one compiled program)
-        sam_cond = sam_phase(sam_params, sam_image)
-        inputs = {
-            "controlnet_conds": [sam_cond, inpaint_cond],
-            "controlnet_scales": [0.5, 1.0],
-            "guidance_scale": 9.0,
-            "mask": mask,
-            "image_latents": jax.random.normal(ks[4], (b, 64, 64, 4),
-                                               jnp.float32),
-            "noise": jax.random.normal(ks[5], (b, 64, 64, 4), jnp.float32),
-        }
-        lat = jax.random.normal(ks[3], (b, 64, 64, 4), dtype)
-        img = edit_jit(params, lat, context, inputs)
-        jnp.sum(img).block_until_ready()
-        return float(jnp.sum(img))      # host fetch = hard sync
+    def make_edit(b, n_steps):
+        dcfg = DenoiseConfig(unet=ucfg, controlnets=(cn_cfg, cn_cfg),
+                             num_steps=n_steps, sampler="unipc",
+                             inpaint_mode="blend", alignment_ratio=None)
+        denoise = build_denoiser(dcfg, schedule, make_timesteps(n_steps))
 
-    run_once()                          # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
-    p50 = sorted(times)[len(times) // 2]
+        def edit(params, latents, context, inputs):
+            final = denoise(params, latents, context, inputs)
+            return V.decode_from_latents(params["vae"], vcfg,
+                                         final.astype(dtype))
+
+        # (no donation: initial latents are bf16, the sampler carry is
+        # fp32 — the buffer is never reusable, donating only warned)
+        edit_jit = jax.jit(edit)
+        context = {"cond": jax.random.normal(ks[4], (b, 77, 768), dtype),
+                   "uncond": jax.random.normal(ks[5], (b, 77, 768), dtype)}
+        mask = jnp.zeros((b, 64, 64, 1), dtype).at[:, 16:48, 16:48].set(1.0)
+        inpaint_cond = jax.random.uniform(ks[7], (b, 512, 512, 3), dtype)
+
+        def run_once():
+            # SAM mask generation -> ID condition map (one program)
+            sam_cond = sam_phase(sam_params, sam_image)
+            inputs = {
+                "controlnet_conds": [
+                    jnp.broadcast_to(sam_cond, (b, 512, 512, 3)),
+                    inpaint_cond],
+                "controlnet_scales": [0.5, 1.0],
+                "guidance_scale": 9.0,
+                "mask": mask,
+                "image_latents": jax.random.normal(
+                    ks[4], (b, 64, 64, 4), jnp.float32),
+                "noise": jax.random.normal(
+                    ks[5], (b, 64, 64, 4), jnp.float32),
+            }
+            lat = jax.random.normal(ks[3], (b, 64, 64, 4), dtype)
+            img = edit_jit(params, lat, context, inputs)
+            jnp.sum(img).block_until_ready()
+            return float(jnp.sum(img))  # host fetch = hard sync
+
+        return run_once
+
+    def measure(run_once, reps=3):
+        run_once()                      # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_once()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
+
+    p50 = measure(make_edit(1, steps))
+    # reference-default operating point: num_samples=2, 30 steps
+    # (editany_demo.py:89-91,234-260) — the apples-to-apples UI latency
+    ui_p50 = measure(make_edit(2, 30))
 
     target_s = 5.0                      # BASELINE.md north star (v5e-8)
     print(json.dumps({
@@ -134,6 +151,8 @@ def main():
         "value": round(p50, 4),
         "unit": "s",
         "vs_baseline": round(target_s / p50, 3),
+        "ui_default_2x30_s": round(ui_p50, 4),
+        "ui_default_edits_per_s_chip": round(2.0 / ui_p50, 3),
     }))
 
 
